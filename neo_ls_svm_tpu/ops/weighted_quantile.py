@@ -1,0 +1,107 @@
+"""Weighted quantiles.
+
+TPU-native counterpart of the reference's weighted quantile (``_weighted_quantile.py:35-77``).
+The reference parallelises the batched 1-D interpolation with a numba ``prange`` kernel
+(``_weighted_quantile.py:13-18``); here the same computation exists twice:
+
+* ``weighted_quantile`` — host NumPy, bit-compatible with the reference. Used by the
+  host-side supervised pre-transform fit, where exact parity matters.
+* ``weighted_quantile_jax`` — a fully vectorised ``jnp.sort`` + ``vmap(jnp.interp)``
+  version for on-device use at scale.
+
+Both use the reference's averaged lower/upper ECDF convention
+``(interp(q, p_lower, a) + interp(q, p_upper, a)) / 2`` (rationale at
+``_weighted_quantile.py:69-71``: it yields 0.5 for a=(0,1,1), w=(2,1,1), q=0.5 where the
+standard midpoint convention does not).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neo_ls_svm_tpu.utils.typing import FloatTensor, FloatVector
+
+
+def _batched_interp(q: np.ndarray, p: np.ndarray, a: np.ndarray) -> np.ndarray:
+    # Equivalent of the reference's numba ``_parallel_interp``: row-wise np.interp.
+    out = np.empty((a.shape[0], len(q)), dtype=a.dtype)
+    for i in range(a.shape[0]):
+        out[i, :] = np.interp(q, p[i, :], a[i, :])
+    return out
+
+
+def weighted_quantile(
+    a: FloatTensor,
+    w: FloatTensor,
+    q: float | FloatVector,
+    axis: int | None = None,
+) -> np.ndarray:
+    """Compute the weighted q'th quantile of the data along the specified axis."""
+    a = np.ascontiguousarray(np.asarray(a))
+    w = np.ascontiguousarray(np.asarray(w))
+    assert a.ndim == w.ndim, "Array and weights must have the same number of dimensions"
+    assert axis is None or (0 <= axis < a.ndim), "Axis must be one of the array's dimensions"
+    assert np.all(w >= 0), "Weights must be nonnegative"
+    w = np.broadcast_to(w, a.shape)
+    q_arr = np.ravel(np.asarray([q])).astype(a.dtype)
+    if axis is None:
+        a_flat, w_flat = np.ravel(a), np.ravel(w)
+        order = np.argsort(a_flat)
+        a_sorted, w_sorted = a_flat[order], w_flat[order]
+        cw = np.cumsum(w_sorted)
+        p_lower = (cw - w_sorted) / cw[-1]
+        p_upper = cw / cw[-1]
+        result = (
+            0.5 * np.interp(q_arr, p_lower, a_sorted) + 0.5 * np.interp(q_arr, p_upper, a_sorted)
+        ).astype(a.dtype)
+        return result
+    # Move the reduction axis last and flatten the leading axes into rows.
+    a_moved, w_moved = np.moveaxis(a, axis, -1), np.moveaxis(w, axis, -1)
+    lead_shape = a_moved.shape
+    rows_a = np.reshape(a_moved, (-1, lead_shape[-1]))
+    rows_w = np.reshape(w_moved, (-1, lead_shape[-1]))
+    order = np.argsort(rows_a, axis=1)
+    rows_a = np.take_along_axis(rows_a, order, axis=1)
+    rows_w = np.take_along_axis(rows_w, order, axis=1)
+    cw = np.cumsum(rows_w, axis=1)
+    total = cw[:, [-1]].copy()
+    p_lower = (cw - rows_w) / total
+    p_upper = cw / total
+    result = (_batched_interp(q_arr, p_lower, rows_a) + _batched_interp(q_arr, p_upper, rows_a)) / 2
+    result = np.reshape(result, lead_shape[:-1] + (len(q_arr),))
+    result = np.moveaxis(result, -1, axis)
+    return result
+
+
+def _interp_row(q: jax.Array, p: jax.Array, a: jax.Array) -> jax.Array:
+    return jnp.interp(q, p, a)
+
+
+def weighted_quantile_jax(
+    a: jax.Array,
+    w: jax.Array,
+    q: jax.Array,
+    axis: int = 0,
+) -> jax.Array:
+    """On-device weighted quantile along ``axis``; jit/vmap friendly.
+
+    Same averaged lower/upper ECDF convention as :func:`weighted_quantile`.
+    """
+    a = jnp.moveaxis(a, axis, -1)
+    w = jnp.broadcast_to(jnp.moveaxis(w, axis, -1), a.shape)
+    lead_shape = a.shape
+    rows_a = a.reshape(-1, lead_shape[-1])
+    rows_w = w.reshape(-1, lead_shape[-1])
+    order = jnp.argsort(rows_a, axis=1)
+    rows_a = jnp.take_along_axis(rows_a, order, axis=1)
+    rows_w = jnp.take_along_axis(rows_w, order, axis=1)
+    cw = jnp.cumsum(rows_w, axis=1)
+    total = cw[:, -1:]
+    p_lower = (cw - rows_w) / total
+    p_upper = cw / total
+    q = jnp.atleast_1d(jnp.asarray(q, dtype=a.dtype))
+    lower = jax.vmap(_interp_row, in_axes=(None, 0, 0))(q, p_lower, rows_a)
+    upper = jax.vmap(_interp_row, in_axes=(None, 0, 0))(q, p_upper, rows_a)
+    result = 0.5 * (lower + upper)
+    result = result.reshape(lead_shape[:-1] + (q.shape[0],))
+    return jnp.moveaxis(result, -1, axis)
