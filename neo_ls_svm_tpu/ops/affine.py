@@ -1,0 +1,370 @@
+"""Supervised affine pre-transform stack.
+
+Re-implements the reference's inheritance chain ``AffineFeatureMap`` →
+``AffineNormalizer`` → ``AffineSeparator`` (ref ``_affine_feature_map.py``,
+``_affine_normalizer.py``, ``_affine_separator.py``) with a host-fit / device-transform
+split: *fitting* is data-dependent-shape host NumPy (target binning produces a variable
+number of bins, the separator's SVD rank cut is data-dependent — exactly the parts the
+reference runs outside BLAS), while *transforms* are linear maps that fold into the
+downstream feature map and run on the TPU as part of one fused matmul
+(see :meth:`AffineFeatureMap.linear_form`).
+
+RNG parity: the separator draws its edge samples from ``np.random.RandomState`` in the
+same call order as the reference, so fitted parameters match bit-for-bit for a given
+``random_state``.
+"""
+
+from typing import Any
+
+import numpy as np
+import numpy.typing as npt
+
+from neo_ls_svm_tpu.ops.quantizer import sample_bins_quantized_ecdf
+from neo_ls_svm_tpu.ops.weighted_quantile import weighted_quantile
+from neo_ls_svm_tpu.utils.base import BaseEstimator, TransformerMixin
+from neo_ls_svm_tpu.utils.validation import (
+    check_array,
+    check_consistent_length,
+    check_random_state,
+    check_X_y,
+)
+
+
+def squared_distances(X: npt.NDArray, Y: npt.NDArray) -> npt.NDArray:
+    """Pairwise squared Euclidean distances between rows of X and Y (host NumPy).
+
+    Matmul-based expansion as in the reference (``_affine_separator.py:16-21``); the
+    on-device counterpart lives in :mod:`neo_ls_svm_tpu.ops.kernels`.
+    """
+    return (
+        np.sum(X * X, axis=1, keepdims=True)
+        - 2 * X @ Y.T
+        + np.sum(Y * Y, axis=1, keepdims=True).T
+    )
+
+
+def nearest_neighbours(X: npt.NDArray, Y: npt.NDArray) -> npt.NDArray:
+    """For each row of X, the nearest row of Y (ref ``_affine_separator.py:24-29``)."""
+    idx = np.argmin(squared_distances(X, Y), axis=1, keepdims=True)
+    return np.take_along_axis(Y, idx, axis=0)
+
+
+def right_singular_vectors(X: npt.NDArray) -> tuple[npt.NDArray, npt.NDArray]:
+    """Singular values and right singular vectors via the smaller-side Gram eigh.
+
+    Equivalent to ``np.linalg.svd(X)[1:]`` transposed, but eigendecomposes whichever of
+    XᵀX / XXᵀ is smaller (ref ``_faster_svd``, ``_affine_separator.py:32-51``).
+    """
+    if X.shape[0] >= X.shape[1]:
+        e, V = np.linalg.eigh(X.conj().T @ X)
+        s = np.sqrt(np.abs(e))[::-1]
+        V = V[:, ::-1]
+    else:
+        e, U = np.linalg.eigh(X @ X.conj().T)
+        s = np.sqrt(np.abs(e))[::-1]
+        U = U[:, ::-1]
+        keep = s > 0
+        s, U = s[keep], U[:, keep]
+        V = (X.conj().T @ U) / s[np.newaxis, :]
+    return s, V
+
+
+class AffineFeatureMap(BaseEstimator, TransformerMixin):
+    """Parametrised affine feature map ``x ↦ (x - shift) @ diag(1/scale) @ A``.
+
+    With ``append_features=True`` and an ``A``, the transformed features are appended to
+    the input features (ref ``_affine_feature_map.py:17-25``).
+    """
+
+    def __init__(
+        self,
+        *,
+        scale: Any,
+        shift: Any,
+        A: npt.NDArray | None = None,
+        append_features: bool = False,
+    ):
+        self.scale = scale
+        self.shift = shift
+        self.A = A
+        self.append_features = append_features
+
+    def _effective_params(self, num_features: int) -> tuple[npt.NDArray, npt.NDArray, Any]:
+        scale = np.reshape(getattr(self, "scale_", self.scale), (-1, num_features))
+        shift = np.reshape(getattr(self, "shift_", self.shift), (-1, num_features))
+        A = getattr(self, "A_", self.A)
+        return scale, shift, A
+
+    def fit(
+        self,
+        X: npt.NDArray,
+        y: npt.NDArray | None = None,
+        sample_weight: npt.NDArray | None = None,
+    ) -> "AffineFeatureMap":
+        """Validate the (given or learned) parameters against X; no learning here."""
+        X = check_array(X)
+        self.n_features_in_ = X.shape[1]
+        scale, shift, A = self._effective_params(X.shape[1])
+        assert scale.dtype == shift.dtype, "The scale and shift must have the same dtype"
+        assert not np.any(scale == 0), "The scale may not be zero"
+        assert np.all(np.isfinite(scale)), "The scale must be finite"
+        assert np.all(np.isfinite(shift)), "The shift must be finite"
+        assert X.shape[1] == scale.shape[1], "The scale must match the number of features"
+        assert X.shape[1] == shift.shape[1], "The shift must match the number of features"
+        if A is not None:
+            assert A.dtype == scale.dtype, "A must share the scale/shift dtype"
+            assert X.shape[1] == A.shape[0], "A must have one row per feature of X"
+            assert np.all(np.isfinite(A)), "The matrix A must be finite"
+        return self
+
+    def linear_form(self, num_features: int) -> tuple[npt.NDArray | None, npt.NDArray, npt.NDArray]:
+        """Return ``(M, offset, inv_scale)`` so the map is ``X @ M + offset`` when ``M``
+        is not None, else ``(X - shift) * inv_scale``.
+
+        This is what gets folded into the downstream random-features matmul so the whole
+        pre-transform rides a single MXU contraction on device.
+        """
+        scale, shift, A = self._effective_params(num_features)
+        if A is None:
+            return None, shift, 1.0 / scale
+        M = A / scale.T
+        offset = -shift @ M
+        return M, offset, 1.0 / scale
+
+    def transform(self, X: npt.NDArray) -> npt.NDArray:
+        """Apply the affine map (host path; the device path uses ``linear_form``)."""
+        X = check_array(X)
+        scale, shift, A = self._effective_params(X.shape[1])
+        if A is None:
+            out = (X - shift) / scale
+        elif A.shape[1] < A.shape[0]:
+            # Tall A: scale/shift folded into A to avoid materialising (X - shift).
+            out = X @ (A / scale.T) - shift @ (A / scale.T)
+        else:
+            out = (X - shift) @ (A / scale.T)
+        out = out.astype(X.dtype)
+        if self.append_features and A is not None:
+            out = np.hstack((X, out))
+        return out
+
+    @property
+    def pseudo_inverse(self) -> npt.NDArray | None:
+        """Pseudo-inverse of the effective transformation matrix A (lazily cached)."""
+        A = getattr(self, "A_", self.A)
+        if A is None:
+            return None
+        cached = getattr(self, "_pseudo_inverse_cache", None)
+        if cached is None or cached[0] is not A:
+            cached = (A, np.linalg.pinv(A))
+            self._pseudo_inverse_cache = cached
+        return cached[1]
+
+    def inverse_transform(self, X_transformed: npt.NDArray) -> npt.NDArray:
+        """Approximately invert this transformation."""
+        X = check_array(X_transformed)
+        A = getattr(self, "A_", self.A)
+        num_features = X.shape[1] if A is None else A.shape[0]
+        scale, shift, A = self._effective_params(num_features)
+        if self.append_features and A is not None:
+            return X[:, : A.shape[0]]
+        if A is not None:
+            X = X @ self.pseudo_inverse
+        return (X * scale + shift).astype(X.dtype)
+
+    def get_feature_names_out(
+        self, input_features: npt.ArrayLike | None = None
+    ) -> npt.NDArray[np.object_]:
+        """Get output feature names for the transformation."""
+        A = getattr(self, "A_", self.A)
+        if input_features is None:
+            n = getattr(self, "n_features_in_", A.shape[0] if A is not None else 1)
+            input_features = [f"x{j}" for j in range(n)]
+        feats = np.asarray(input_features, dtype=object)
+        if A is None:
+            out = np.array([f"{f}_shifted_scaled" for f in feats], dtype=object)
+        else:
+            joined = ",".join(str(f) for f in feats)
+            out = np.array([f"{joined}_affine_map"] * A.shape[1], dtype=object)
+        if self.append_features and A is not None:
+            out = np.hstack((feats, out))
+        return out
+
+
+class AffineNormalizer(AffineFeatureMap):
+    """Supervised affine normalizer: learns per-feature shift and scale so that the
+    difference between samples from two target bins equals the bins' separability.
+
+    For every pair of target bins (i, j) with weighted-median centres μ and weighted
+    mean-absolute-deviations σ, the optimal threshold ``μᵢ + α(μⱼ-μᵢ)`` with
+    ``α = clip(σᵢ/(σᵢ+σⱼ))`` and the spread ``σᵢ+σⱼ`` are accumulated with weight
+    ``√((nᵢ+nⱼ)(0.5 + |μⱼ-μᵢ|/(σᵢ+σⱼ)))`` (ref ``_affine_normalizer.py:50-117``).
+    """
+
+    def __init__(self, *, append_features: bool = False) -> None:
+        self.shift = 0.0
+        self.scale = 1.0
+        self.A = None
+        self.append_features = append_features
+
+    def fit(
+        self,
+        X: npt.NDArray,
+        y: npt.NDArray | None = None,
+        sample_weight: npt.NDArray | None = None,
+    ) -> "AffineFeatureMap":
+        """Learn the shift and scale from binned targets."""
+        X, y = check_X_y(X, y)
+        y = np.ravel(np.asarray(y)).astype(X.dtype)
+        weights = (
+            np.ones(y.shape) if sample_weight is None else np.ravel(np.asarray(sample_weight))
+        ).astype(y.dtype)
+        check_consistent_length(y, weights)
+        bins, bin_weights, bin_probs = _bin_by_target(y, weights)
+        d = X.shape[1]
+        if len(bins) <= 1:
+            self.shift_ = np.zeros((1, d), dtype=X.dtype)
+            self.scale_ = np.ones((1, d), dtype=X.dtype)
+            super().fit(X, y, weights)
+            return self
+        centers = [
+            weighted_quantile(X[mask], probs.T, 0.5, axis=0)
+            for mask, probs in zip(bins, bin_probs)
+        ]
+        spreads = [
+            probs @ np.abs(X[mask] - mu)
+            for mask, probs, mu in zip(bins, bin_probs, centers)
+        ]
+        sign = np.zeros((1, d), dtype=X.dtype)
+        total_w = np.zeros((1, d), dtype=X.dtype)
+        self.shift_ = np.zeros((1, d), dtype=X.dtype)
+        self.scale_ = np.zeros((1, d), dtype=X.dtype)
+        for i in range(len(centers) - 1):
+            for j in range(i + 1, len(centers)):
+                diff_mu = centers[j] - centers[i]
+                sum_sigma = np.maximum(spreads[i] + spreads[j], np.finfo(X.dtype).eps)
+                separability = np.abs(diff_mu) / sum_sigma
+                w = np.sqrt((bin_weights[i] + bin_weights[j]) * (0.5 + separability))
+                alpha = np.clip(spreads[i] / sum_sigma, 1e-6, 1.0 - 1e-6)
+                self.shift_ = self.shift_ + w * (centers[i] + alpha * diff_mu)
+                self.scale_ = self.scale_ + w * sum_sigma
+                sign += w * np.sign(diff_mu)
+                total_w += w
+        sign /= total_w
+        self.shift_ = self.shift_ / total_w
+        self.scale_ = self.scale_ / total_w
+        flip = np.sign(sign) < 0
+        self.scale_[flip] = -self.scale_[flip]
+        super().fit(X, y, weights)
+        return self
+
+
+def _bin_by_target(
+    y: npt.NDArray, weights: npt.NDArray
+) -> tuple[list[npt.NDArray], list[np.floating], list[npt.NDArray]]:
+    """Quantize y into bins; return per-bin masks, total weights, normalised weights."""
+    y_quantized = sample_bins_quantized_ecdf(y)
+    masks = [y_quantized == i for i in range(np.min(y_quantized), np.max(y_quantized) + 1)]
+    totals = [np.sum(weights[m]) for m in masks]
+    probs = [weights[np.newaxis, m] / np.sum(weights[m]) for m in masks]
+    return masks, totals, probs
+
+
+class AffineSeparator(AffineNormalizer):
+    """Affine separator: learns the matrix A that optimally separates target bins.
+
+    After normalising with the inherited shift/scale, each bin's edge is located by two
+    rounds of nearest-neighbour search between weighted samples of the bin and its
+    complement; the leading right singular vectors of the edge differences become that
+    bin's block of A, and a global rescale λ = √(2·log(f/g)/(f−g)) tunes A for Gaussian
+    kernels, where f/g are mean inter-/intra-bin edge distances
+    (ref ``_affine_separator.py:54-210``; λ derivation at ``:75-87``).
+    """
+
+    def __init__(
+        self,
+        *,
+        append_features: bool = False,
+        rank_threshold: float = 2e-2,
+        edge_sample_size: int = 384,
+        edge_search_multiplier: int = 4,
+        random_state: Any = 42,
+    ) -> None:
+        self.shift = 0.0
+        self.scale = 1.0
+        self.A = None
+        self.append_features = append_features
+        self.rank_threshold = rank_threshold
+        self.edge_sample_size = edge_sample_size
+        self.edge_search_multiplier = edge_search_multiplier
+        self.random_state = random_state
+
+    def fit(
+        self,
+        X: npt.NDArray,
+        y: npt.NDArray | None = None,
+        sample_weight: npt.NDArray | None = None,
+    ) -> "AffineFeatureMap":
+        """Learn shift, scale, and the separating matrix A."""
+        assert y is not None
+        X, y = check_X_y(X, y)
+        y = np.ravel(np.asarray(y)).astype(X.dtype)
+        # Learn the shift/scale, then work on the normalised features.
+        AffineNormalizer.fit(self, X, y, sample_weight)
+        X = AffineNormalizer.transform(self, X)  # A_ not set yet → shift/scale only.
+        weights = (
+            np.ones(y.shape) if sample_weight is None else np.ravel(np.asarray(sample_weight))
+        ).astype(y.dtype)
+        check_consistent_length(y, weights)
+        masks, bin_weights, bin_probs = _bin_by_target(y, weights)
+        X_bins = [X[m] for m in masks]
+        if len(X_bins) <= 1:
+            return self
+        # With only two bins each bin's complement is the other bin; spend the sample
+        # budget accordingly (ref _affine_separator.py:138-139). Unlike the reference we
+        # do not mutate the constructor parameter.
+        ess = self.edge_sample_size
+        if len(X_bins) == 2:
+            ess = int(ess * 4 / 3)
+        generator = check_random_state(self.random_state)
+        blocks: list[npt.NDArray] = []
+        edges_in: list[npt.NDArray] = []
+        edges_out: list[npt.NDArray] = []
+        for i in range(len(X_bins)):
+            idx = generator.choice(len(X_bins[i]), size=ess, p=np.ravel(bin_probs[i]))
+            bin_sample = X_bins[i][idx, :]
+            complement = np.vstack([Xb for j, Xb in enumerate(X_bins) if j != i])
+            complement_w = np.hstack([weights[m] for j, m in enumerate(masks) if j != i])
+            idx = generator.choice(
+                len(complement),
+                size=ess * self.edge_search_multiplier,
+                p=np.ravel(complement_w) / np.sum(complement_w),
+            )
+            complement_sample = complement[idx, :]
+            # Round 1: complement points nearest to the bin sample = the complement edge.
+            complement_edge = nearest_neighbours(bin_sample, complement_sample)
+            edges_out.append(complement_edge)
+            # Round 2: bin points nearest to the complement edge = the bin's own edge.
+            idx = generator.choice(
+                len(X_bins[i]), size=ess * self.edge_search_multiplier, p=np.ravel(bin_probs[i])
+            )
+            bin_edge = nearest_neighbours(complement_edge, X_bins[i][idx, :])
+            edges_in.append(bin_edge)
+            # Directions that separate the two edges: leading right singular vectors.
+            s, V = right_singular_vectors(bin_edge - complement_edge)
+            rank = int(np.sum(s > self.rank_threshold * s[0]))
+            blocks.append(V[:, :rank])
+        self.A_ = np.hstack(blocks)
+        # Rescale A for Gaussian-kernel methods from mean inter/intra-bin edge distances.
+        inter, intra = 0.0, 0.0
+        num_inter_pairs = ess * (ess + 1) / 2
+        num_intra_pairs = ess * (ess - 1) / 2
+        for bin_edge, complement_edge, n_bin in zip(edges_in, edges_out, bin_weights):
+            proj_in = bin_edge @ self.A_
+            proj_out = complement_edge @ self.A_
+            inter += n_bin * np.sum(np.tril(squared_distances(proj_in, proj_out), k=0)) / num_inter_pairs
+            intra += n_bin * np.sum(np.tril(squared_distances(proj_in, proj_in), k=-1)) / num_intra_pairs
+        inter /= sum(bin_weights)
+        intra /= sum(bin_weights)
+        scale_factor = np.sqrt(2 * np.log(inter / intra) / (inter - intra)) if intra > 0 else 1
+        self.A_ = self.A_ * scale_factor
+        return self

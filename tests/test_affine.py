@@ -1,0 +1,110 @@
+"""Parity tests for the supervised affine pre-transform stack."""
+
+import numpy as np
+import pytest
+
+from neo_ls_svm_tpu.ops.affine import (
+    AffineFeatureMap,
+    AffineNormalizer,
+    AffineSeparator,
+    nearest_neighbours,
+    right_singular_vectors,
+    squared_distances,
+)
+
+from .conftest import make_classification_dataset, make_regression_dataset
+from .reference_shim import import_reference
+
+import_reference()
+from neo_ls_svm._affine_feature_map import AffineFeatureMap as RefAffineFeatureMap  # noqa: E402
+from neo_ls_svm._affine_normalizer import AffineNormalizer as RefAffineNormalizer  # noqa: E402
+from neo_ls_svm._affine_separator import (  # noqa: E402
+    AffineSeparator as RefAffineSeparator,
+    _faster_svd,
+    pairwise_distances as ref_pairwise_distances,
+)
+
+
+def test_affine_feature_map_matches_reference(rng) -> None:
+    X = rng.randn(100, 5)
+    scale = rng.rand(5) + 0.5
+    shift = rng.randn(5)
+    A = rng.randn(5, 7)
+    for kwargs in (
+        {"scale": scale, "shift": shift, "A": None},
+        {"scale": scale, "shift": shift, "A": A},
+        {"scale": scale, "shift": shift, "A": A, "append_features": True},
+        {"scale": scale, "shift": shift, "A": rng.randn(5, 3)},  # tall branch
+    ):
+        ours = AffineFeatureMap(**kwargs).fit(X)
+        theirs = RefAffineFeatureMap(**kwargs).fit(X)
+        np.testing.assert_allclose(ours.transform(X), theirs.transform(X), rtol=1e-12)
+
+
+def test_affine_feature_map_inverse_roundtrip(rng) -> None:
+    X = rng.randn(60, 4)
+    fmap = AffineFeatureMap(scale=rng.rand(4) + 0.5, shift=rng.randn(4), A=rng.randn(4, 4))
+    fmap.fit(X)
+    np.testing.assert_allclose(fmap.inverse_transform(fmap.transform(X)), X, rtol=1e-8)
+
+
+def test_affine_feature_map_linear_form(rng) -> None:
+    X = rng.randn(50, 5)
+    fmap = AffineFeatureMap(scale=rng.rand(5) + 0.5, shift=rng.randn(5), A=rng.randn(5, 9))
+    fmap.fit(X)
+    M, offset, _ = fmap.linear_form(5)
+    np.testing.assert_allclose(X @ M + offset, fmap.transform(X), rtol=1e-10)
+
+
+def test_helpers_match_reference(rng) -> None:
+    X, Y = rng.randn(40, 6), rng.randn(30, 6)
+    np.testing.assert_allclose(squared_distances(X, Y), ref_pairwise_distances(X, Y), rtol=1e-10)
+    tall, fat = rng.randn(50, 6), rng.randn(6, 50)
+    for m in (tall, fat):
+        s_ours, v_ours = right_singular_vectors(m)
+        s_ref, v_ref = _faster_svd(m)
+        np.testing.assert_allclose(s_ours, s_ref, rtol=1e-10)
+        np.testing.assert_allclose(np.abs(v_ours), np.abs(v_ref), rtol=1e-8, atol=1e-10)
+    nn = nearest_neighbours(X, Y)
+    assert nn.shape == X.shape
+
+
+@pytest.mark.parametrize("task", ["regression", "classification"])
+def test_affine_normalizer_matches_reference(task) -> None:
+    if task == "regression":
+        X, y = make_regression_dataset(n=1500, seed=1)
+    else:
+        X, y_raw = make_classification_dataset(n=1500, seed=1)
+        y = np.where(y_raw == "pos", 1.0, -1.0)
+    ours = AffineNormalizer().fit(X, y)
+    theirs = RefAffineNormalizer().fit(X, y)
+    np.testing.assert_allclose(ours.shift_, theirs.shift_, rtol=1e-10)
+    np.testing.assert_allclose(ours.scale_, theirs.scale_, rtol=1e-10)
+
+
+@pytest.mark.parametrize("task", ["regression", "classification"])
+@pytest.mark.parametrize("weighted", [False, True])
+def test_affine_separator_matches_reference(task, weighted) -> None:
+    if task == "regression":
+        X, y = make_regression_dataset(n=1500, seed=2)
+    else:
+        X, y_raw = make_classification_dataset(n=1500, seed=2)
+        y = np.where(y_raw == "pos", 1.0, -1.0)
+    w = np.random.RandomState(3).rand(len(y)) + 0.1 if weighted else None
+    ours = AffineSeparator().fit(X, y, sample_weight=w)
+    theirs = RefAffineSeparator().fit(X, y, sample_weight=None if w is None else w.copy())
+    np.testing.assert_allclose(ours.shift_, theirs.shift_, rtol=1e-9)
+    np.testing.assert_allclose(ours.scale_, theirs.scale_, rtol=1e-9)
+    np.testing.assert_allclose(ours.A_, theirs.A_, rtol=1e-7, atol=1e-10)
+    X_new = np.random.RandomState(4).randn(100, X.shape[1])
+    np.testing.assert_allclose(ours.transform(X_new), theirs.transform(X_new), rtol=1e-7, atol=1e-10)
+
+
+def test_affine_separator_single_bin() -> None:
+    X = np.random.RandomState(0).randn(200, 3)
+    y = np.ones(200)
+    sep = AffineSeparator().fit(X, y)
+    # Identity pre-transform: no A learned, zero shift, unit scale.
+    assert getattr(sep, "A_", None) is None
+    np.testing.assert_array_equal(sep.shift_, np.zeros((1, 3)))
+    np.testing.assert_array_equal(sep.scale_, np.ones((1, 3)))
