@@ -7,13 +7,16 @@ the float64 reference are meaningful.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # The shell exports axon (TPU); tests are CPU parity.
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax
 
+# The jaxtyping pytest plugin imports jax before this conftest runs, snapshotting the
+# shell's JAX_PLATFORMS=axon — override via the config flag, not the env var.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 import numpy as np

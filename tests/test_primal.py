@@ -1,0 +1,114 @@
+"""Parity of the real-embedding primal solver against the reference's complex solver."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neo_ls_svm_tpu.models.primal import (
+    gamma_grid,
+    primal_decision_function,
+    primal_fit,
+    primal_predict_var,
+)
+from neo_ls_svm_tpu.ops.orff import OrthogonalRandomFourierFeatures
+
+from .conftest import make_classification_dataset, make_regression_dataset
+from .reference_shim import import_reference
+
+import_reference()
+from neo_ls_svm import NeoLSSVM as RefNeoLSSVM  # noqa: E402
+
+
+def _fit_both(task: str, weighted: bool = False, num_features: int = 96):
+    if task == "regression":
+        X, y = make_regression_dataset(n=1600, seed=11)
+    else:
+        X, y_raw = make_classification_dataset(n=1600, seed=11)
+        y = np.where(y_raw == "pos", 1.0, -1.0)
+    s = (np.random.RandomState(12).rand(len(y)) + 0.25) if weighted else np.ones_like(y)
+
+    fmap = OrthogonalRandomFourierFeatures(num_features=num_features).fit(X, y, s)
+    phi = fmap.transform(X)
+    C = np.eye(num_features + 1, dtype=np.float64)
+
+    ref = RefNeoLSSVM()
+    ref._estimator_type = "classifier" if task == "classification" else "regressor"
+    ref_beta, ref_gamma = ref._optimize_β̂_γ(phi, y, s.copy(), C)
+
+    M_map, b_map = fmap.linear_map()
+    gammas = gamma_grid(np.float64)
+    ours = primal_fit(
+        jnp.asarray(X),
+        jnp.asarray(M_map),
+        jnp.asarray(b_map),
+        jnp.asarray(y),
+        jnp.asarray(s),
+        jnp.asarray(gammas),
+        is_classifier=(task == "classification"),
+    )
+    return X, y, s, fmap, phi, ref, ref_beta, ref_gamma, M_map, b_map, ours
+
+
+@pytest.mark.parametrize("task", ["regression", "classification"])
+@pytest.mark.parametrize("weighted", [False, True])
+def test_primal_solver_matches_reference(task, weighted) -> None:
+    X, y, s, fmap, phi, ref, ref_beta, ref_gamma, M_map, b_map, ours = _fit_both(task, weighted)
+
+    assert float(ours["gamma"]) == pytest.approx(ref_gamma, rel=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(ours["loo_errors_gammas"]), ref.loo_errors_γs_, rtol=1e-6, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours["loo_residuals"]), ref.loo_residuals_, rtol=1e-5, atol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours["loo_leverage"]), ref.loo_leverage_, rtol=1e-5, atol=1e-12
+    )
+    assert float(ours["loo_error"]) == pytest.approx(ref.loo_error_, rel=1e-6)
+    assert float(ours["loo_score"]) == pytest.approx(ref.loo_score_, rel=1e-6)
+    np.testing.assert_allclose(np.asarray(ours["loo_std"]), ref.loo_std_, rtol=1e-5, atol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(ours["residuals"]), ref.residuals_, rtol=1e-4, atol=1e-8
+    )
+
+    # The fitted coefficients agree through the decision function.
+    X_new = np.random.RandomState(13).randn(300, X.shape[1])
+    ref_decision = np.real(fmap.transform(X_new) @ ref_beta)
+    ours_decision = np.asarray(
+        primal_decision_function(
+            jnp.asarray(X_new), jnp.asarray(M_map), jnp.asarray(b_map), ours["beta_emb"]
+        )
+    )
+    np.testing.assert_allclose(ours_decision, ref_decision, rtol=1e-6, atol=1e-10)
+
+
+def test_primal_predict_var_positive_and_consistent() -> None:
+    X, y, s, fmap, phi, ref, ref_beta, ref_gamma, M_map, b_map, ours = _fit_both("regression")
+    n, M = phi.shape
+    var = np.asarray(
+        primal_predict_var(
+            jnp.asarray(X[:200]),
+            jnp.asarray(M_map),
+            jnp.asarray(b_map),
+            ours["Qs"],
+            ours["lam"],
+            ours["gamma"],
+            jnp.asarray(float(n * M)),
+        )
+    )
+    assert np.all(var > 0)
+    # In-sample: the LOO std must reproduce σ² + (sσ²)²/(1-h) of the train points.
+    var_train = np.asarray(
+        primal_predict_var(
+            jnp.asarray(X),
+            jnp.asarray(M_map),
+            jnp.asarray(b_map),
+            ours["Qs"],
+            ours["lam"],
+            ours["gamma"],
+            jnp.asarray(float(n * M)),
+        )
+    )
+    s_norm = s / s.sum()
+    loo_var = var_train + (s_norm * var_train) ** 2 / (1 - np.asarray(ours["loo_leverage"]))
+    np.testing.assert_allclose(np.asarray(ours["loo_std"]), np.sqrt(loo_var), rtol=1e-6)
