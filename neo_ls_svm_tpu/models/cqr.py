@@ -1,0 +1,272 @@
+"""Coherent linear quantile regression — the conformal-calibration engine.
+
+The reference formulates joint multi-quantile regression with monotone ("coherent")
+predictions as one sparse LP over ~2Q(F+n) variables and ships it to SciPy's HiGHS
+(ref ``_coherent_linear_quantile_regressor.py:23-179``). There is no LP solver in
+JAX/XLA, and shipping a 26k-variable sparse LP to a host solver would put a serial CPU
+bottleneck in the calibration path.
+
+TPU-native reformulation: eliminate the LP's auxiliary residual splits Δ⁺/Δ⁻
+analytically — they are just the positive/negative parts of r = Xβ - y — leaving a
+*tiny* problem in the Q·F regression coefficients only (≈ 30-50 unknowns):
+
+    min_B  Σⱼ (1/Q) Σᵢ sᵢ · ρ_{qⱼ}(yᵢ - xᵢᵀβⱼ)  +  α‖B‖₁
+    s.t.   Xβⱼ ≤ Xβⱼ₊₁                                      (monotonicity)
+
+solved by damped Newton on a smoothed pinball loss with an exterior quadratic-hinge
+penalty for the constraints, under an (ε, c)-continuation schedule; everything jits.
+Exact training-set monotonicity is then restored by a cumulative intercept repair, so
+the fitted model satisfies the same guarantee class as the LP solution (the LP also only
+constrains the *training* rows). ``intercept_clip`` semantics are reproduced exactly
+(ref ``:257-272``).
+"""
+
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import numpy.typing as npt
+
+from neo_ls_svm_tpu.utils.base import BaseEstimator, RegressorMixin
+from neo_ls_svm_tpu.utils.validation import (
+    check_array,
+    check_consistent_length,
+    check_is_fitted,
+    check_X_y,
+)
+from neo_ls_svm_tpu.ops.weighted_quantile import weighted_quantile
+
+
+def _extend_quantiles(quantiles: npt.NDArray, coherence_buffer: int) -> npt.NDArray:
+    """Insert ``coherence_buffer`` auxiliary ranks between each requested pair
+    (ref ``:77-82``)."""
+    return np.interp(
+        np.linspace(0, len(quantiles) - 1, (len(quantiles) - 1) * (1 + coherence_buffer) + 1),
+        np.arange(len(quantiles)),
+        quantiles,
+    ).astype(quantiles.dtype)
+
+
+def _smoothed_objective(
+    B: jax.Array,
+    X: jax.Array,
+    y: jax.Array,
+    q: jax.Array,
+    s: jax.Array,
+    alpha: jax.Array,
+    eps: jax.Array,
+    penalty: jax.Array,
+) -> jax.Array:
+    """Smoothed pinball + L1 + quadratic-hinge monotonicity penalty; C¹ and jittable."""
+    pred = X @ B  # n × Q
+    r = y[:, None] - pred
+    # Smoothed check function: ρ_q(r) ≈ q·r + ε·softplus(-r/ε) → exact pinball as ε→0.
+    pinball = q[None, :] * r + eps * jax.nn.softplus(-r / eps)
+    loss = jnp.sum(s[:, None] * pinball) / q.shape[0]
+    loss = loss + alpha * jnp.sum(jnp.sqrt(B * B + 1e-12))
+    violation = jnp.maximum(pred[:, :-1] - pred[:, 1:], 0.0)
+    loss = loss + penalty * jnp.mean(violation * violation)
+    return loss
+
+
+@partial(jax.jit, static_argnames=("num_steps",))
+def _newton_stage(
+    B0: jax.Array,
+    X: jax.Array,
+    y: jax.Array,
+    q: jax.Array,
+    s: jax.Array,
+    alpha: jax.Array,
+    eps: jax.Array,
+    penalty: jax.Array,
+    *,
+    num_steps: int,
+) -> jax.Array:
+    """Damped Newton with vectorised backtracking on the flattened coefficients."""
+    shape = B0.shape
+    dim = B0.size
+
+    def f(flat: jax.Array) -> jax.Array:
+        return _smoothed_objective(flat.reshape(shape), X, y, q, s, alpha, eps, penalty)
+
+    grad_f = jax.grad(f)
+    hess_f = jax.hessian(f)
+    step_sizes = 2.0 ** -jnp.arange(0, 12, dtype=B0.dtype)
+
+    def body(flat: jax.Array, _: Any) -> tuple[jax.Array, None]:
+        g = grad_f(flat)
+        H = hess_f(flat)
+        # Levenberg damping keeps H positive definite through the hinge kinks.
+        damping = 1e-7 * (1.0 + jnp.trace(H) / dim)
+        H = H + damping * jnp.eye(dim, dtype=flat.dtype)
+        direction = jax.scipy.linalg.solve(H, g, assume_a="pos")
+        candidates = flat[None, :] - step_sizes[:, None] * direction[None, :]
+        values = jax.vmap(f)(candidates)
+        best = jnp.argmin(values)
+        improved = values[best] < f(flat)
+        return jnp.where(improved, candidates[best], flat), None
+
+    flat_opt, _ = jax.lax.scan(body, B0.reshape(-1), None, length=num_steps)
+    return flat_opt.reshape(shape)
+
+
+def coherent_linear_quantile_regression(
+    X: npt.NDArray,
+    y: npt.NDArray,
+    *,
+    quantiles: npt.NDArray,
+    sample_weight: npt.NDArray | None = None,
+    coherence_buffer: int = 3,
+) -> tuple[npt.NDArray, npt.NDArray]:
+    """Solve the coherent quantile regression problem.
+
+    Returns (β at the requested quantiles, β at all auxiliary quantiles), both with one
+    column per quantile and one row per feature — the reference's contract (``:66-72``).
+    """
+    num_samples, num_features = X.shape
+    quantiles_full = _extend_quantiles(np.asarray(quantiles), coherence_buffer)
+    num_quantiles = len(quantiles_full)
+    assert np.array_equal(quantiles_full, np.sort(quantiles_full)), "Quantiles must be sorted."
+    assert sample_weight is None or np.all(sample_weight >= 0), "Sample weights must be >= 0."
+    s = np.ones(num_samples, dtype=y.dtype) if sample_weight is None else np.asarray(sample_weight)
+    s = s / np.sum(s)
+    eps_mach = np.finfo(y.dtype).eps
+    alpha = np.sqrt(eps_mach) / (num_quantiles * num_features)  # L1 weight (ref :90).
+
+    # Standardise for solver conditioning (constant columns — the intercept — keep
+    # scale 1); fold the standardisation back into β afterwards.
+    x_scale = np.std(X, axis=0)
+    x_scale[x_scale < 1e-12] = 1.0
+    x_mean = np.mean(X, axis=0)
+    constant_cols = np.ptp(X, axis=0) < 1e-12
+    x_mean[constant_cols] = 0.0
+    x_scale[constant_cols] = np.maximum(np.abs(X[0, constant_cols]), 1e-12)
+    if not np.any(constant_cols):
+        # Without an intercept column there is nowhere to fold a centering offset back.
+        x_mean[:] = 0.0
+    Xs = (X - x_mean) / x_scale
+    y_scale = max(float(np.median(np.abs(y - np.median(y)))), 1e-8)
+    ys = (y - np.median(y)) / y_scale
+
+    # Initialise every quantile's fit at the weighted empirical quantile (intercepts
+    # only), which is already coherent.
+    B0 = np.zeros((num_features, num_quantiles), dtype=np.float64)
+    intercept_col = int(np.argmax(constant_cols)) if np.any(constant_cols) else None
+    q_init = weighted_quantile(ys, s, quantiles_full, axis=None)
+    if intercept_col is not None:
+        B0[intercept_col, :] = q_init / Xs[0, intercept_col]
+
+    solver_dtype = jnp.zeros(0, dtype=float).dtype  # f64 when x64 enabled, else f32.
+    q_dev = jnp.asarray(quantiles_full, dtype=solver_dtype)
+    X_dev = jnp.asarray(Xs, dtype=solver_dtype)
+    y_dev = jnp.asarray(ys, dtype=solver_dtype)
+    s_dev = jnp.asarray(s, dtype=solver_dtype)
+    B = jnp.asarray(B0)
+    # (smoothing, penalty) continuation: exterior penalty hardens as the pinball sharpens.
+    for eps_rel, penalty in ((0.3, 1e2), (0.03, 1e3), (3e-3, 1e4), (3e-4, 3e5)):
+        B = _newton_stage(
+            B,
+            X_dev,
+            y_dev,
+            q_dev,
+            s_dev,
+            jnp.asarray(alpha),
+            jnp.asarray(eps_rel),
+            jnp.asarray(penalty),
+            num_steps=20,
+        )
+    B = np.asarray(B)
+
+    # Undo the standardisation: ŷ = median + y_scale·(Xs @ B) = X @ β + const terms.
+    beta_full = (y_scale * B) / x_scale[:, None]
+    offset = float(np.median(y)) - y_scale * (x_mean / x_scale) @ B
+    if intercept_col is not None:
+        beta_full[intercept_col, :] = (
+            beta_full[intercept_col, :] * x_scale[intercept_col] + offset
+        ) / X[0, intercept_col]
+    # Exact training-set monotonicity: cumulative intercept repair of any residual
+    # violations (same guarantee class as the LP, which constrains training rows only).
+    if intercept_col is not None:
+        pred = X @ beta_full
+        gaps = np.max(pred[:, :-1] - pred[:, 1:], axis=0, initial=0.0)
+        shift = np.concatenate([[0.0], np.cumsum(np.maximum(gaps, 0.0))])
+        beta_full[intercept_col, :] += shift / X[0, intercept_col]
+    beta = beta_full[:, 0 :: (coherence_buffer + 1)]
+    return beta.astype(y.dtype), beta_full.astype(y.dtype)
+
+
+class CoherentLinearQuantileRegressor(RegressorMixin, BaseEstimator):
+    """Linear model that regresses multiple quantiles coherently (monotonically).
+
+    API-compatible with the reference estimator
+    (``_coherent_linear_quantile_regressor.py:182-272``).
+    """
+
+    def __init__(
+        self,
+        *,
+        quantiles: npt.ArrayLike = (0.025, 0.5, 0.975),
+        fit_intercept: bool = True,
+        coherence_buffer: int = 3,
+    ) -> None:
+        self.quantiles = quantiles
+        self.fit_intercept = fit_intercept
+        self.coherence_buffer = coherence_buffer
+
+    def fit(
+        self,
+        X: npt.NDArray,
+        y: npt.NDArray,
+        *,
+        sample_weight: npt.NDArray | None = None,
+    ) -> "CoherentLinearQuantileRegressor":
+        """Fit this predictor."""
+        X, y = check_X_y(X, y, y_numeric=True)
+        self.n_features_in_: int = X.shape[1]
+        self.y_dtype_ = X.dtype if np.issubdtype(y.dtype, np.integer) else y.dtype
+        if np.issubdtype(y.dtype, np.datetime64) or np.issubdtype(y.dtype, np.timedelta64):
+            X, y = X.astype(np.float64), y.astype(np.float64)
+        y = y.astype(X.dtype)
+        if sample_weight is not None:
+            check_consistent_length(y, sample_weight)
+            sample_weight = np.asarray(sample_weight).astype(y.dtype)
+        if self.fit_intercept:
+            X = np.hstack([X, np.ones((X.shape[0], 1), dtype=X.dtype)])
+        self.β_, self.β_full_ = coherent_linear_quantile_regression(
+            X,
+            y,
+            quantiles=np.asarray(self.quantiles).astype(y.dtype),
+            sample_weight=sample_weight,
+            coherence_buffer=self.coherence_buffer,
+        )
+        return self
+
+    def predict(self, X: npt.NDArray) -> npt.NDArray:
+        """Predict the quantiles on a given dataset (one column per quantile)."""
+        check_is_fitted(self, ["β_"])
+        X = check_array(X, dtype=(self.β_.dtype,))
+        if self.fit_intercept:
+            X = np.hstack([X, np.ones((X.shape[0], 1), dtype=X.dtype)])
+        pred: npt.NDArray = X @ self.β_
+        pred = np.squeeze(pred, axis=1 if pred.shape[1] == 1 else ())
+        if not np.issubdtype(self.y_dtype_, np.integer):
+            pred = pred.astype(self.y_dtype_)
+        return pred
+
+    def intercept_clip(self, X: npt.NDArray, y: npt.NDArray) -> npt.NDArray:
+        """Bounds on an intercept delta that preserve quantile coherence (ref ``:257-272``)."""
+        check_is_fitted(self, ["β_"])
+        X, y = check_X_y(X, y, dtype=(self.β_.dtype,), y_numeric=True)
+        if self.fit_intercept:
+            X = np.hstack([X, np.ones((X.shape[0], 1), dtype=X.dtype)])
+        Q = X @ self.β_full_ - y[:, np.newaxis]
+        clip = np.vstack(
+            [
+                np.insert(np.max(Q[:, :-1] - Q[:, 1:], axis=0), 0, -np.inf),
+                np.append(np.min(Q[:, 1:] - Q[:, :-1], axis=0), np.inf),
+            ]
+        )
+        clip[:, clip[0, :] >= clip[1, :]] = 0
+        return clip[:, 0 :: (self.coherence_buffer + 1)]

@@ -1,0 +1,98 @@
+"""Tests for the coherent linear quantile regressor vs the reference's HiGHS LP."""
+
+import numpy as np
+import pytest
+
+from neo_ls_svm_tpu.models.cqr import CoherentLinearQuantileRegressor
+
+from .reference_shim import import_reference
+
+import_reference()
+from neo_ls_svm._coherent_linear_quantile_regressor import (  # noqa: E402
+    CoherentLinearQuantileRegressor as RefCQR,
+)
+
+
+def _make_cqr_problem(n: int = 1200, seed: int = 0):
+    # Mimics the conformal usage: features = [nonconformity, |ŷ|], target = residuals.
+    gen = np.random.RandomState(seed)
+    std = 0.5 + gen.rand(n)
+    yhat_abs = np.abs(gen.randn(n) * 2)
+    resid = std * gen.randn(n) + 0.05 * yhat_abs * gen.randn(n)
+    X = np.column_stack([std, yhat_abs])
+    return X, resid
+
+
+def _pinball(y, pred, quantiles):
+    loss = 0.0
+    for j, q in enumerate(quantiles):
+        r = y - pred[:, j]
+        loss += np.mean(np.maximum(q * r, (q - 1) * r))
+    return loss / len(quantiles)
+
+
+@pytest.mark.parametrize("quantiles", [(0.025, 0.5, 0.975), (0.1, 0.9), (0.05, 0.25, 0.5, 0.75, 0.95)])
+def test_cqr_close_to_lp_optimum(quantiles) -> None:
+    X, y = _make_cqr_problem()
+    quantiles = np.asarray(quantiles)
+    ours = CoherentLinearQuantileRegressor(quantiles=quantiles).fit(X, y)
+    theirs = RefCQR(quantiles=quantiles).fit(X, y)
+    pred_ours = ours.predict(X)
+    pred_ref = theirs.predict(X)
+    # The smoothed-Newton solution must be within a fraction of a percent of the LP
+    # optimum in pinball loss (the LP is the exact minimiser).
+    loss_ours = _pinball(y, pred_ours, quantiles)
+    loss_ref = _pinball(y, pred_ref, quantiles)
+    assert loss_ours <= loss_ref * 1.005
+    # And the predictions themselves are close relative to the target scale.
+    scale = np.std(y)
+    assert np.median(np.abs(pred_ours - pred_ref)) < 0.05 * scale
+
+
+def test_cqr_monotone_on_training_data() -> None:
+    X, y = _make_cqr_problem(seed=3)
+    quantiles = np.asarray((0.025, 0.1, 0.5, 0.9, 0.975))
+    model = CoherentLinearQuantileRegressor(quantiles=quantiles).fit(X, y)
+    pred = model.predict(X)
+    assert np.all(np.diff(pred, axis=1) >= -1e-9)
+    # The full (auxiliary-augmented) coefficient path must be monotone too.
+    Xi = np.hstack([X, np.ones((len(X), 1))])
+    pred_full = Xi @ model.β_full_
+    assert np.all(np.diff(pred_full, axis=1) >= -1e-9)
+
+
+def test_cqr_weighted_and_single_quantile() -> None:
+    X, y = _make_cqr_problem(seed=4)
+    w = np.random.RandomState(5).rand(len(y)) + 0.1
+    model = CoherentLinearQuantileRegressor(quantiles=(0.5,)).fit(X, y, sample_weight=w)
+    pred = model.predict(X)
+    assert pred.shape == (len(y),)
+    # Weighted median regression: roughly half the weighted mass below the fit.
+    frac_below = np.sum(w * (y < pred)) / np.sum(w)
+    assert 0.45 < frac_below < 0.55
+
+
+def test_cqr_intercept_clip_matches_reference_semantics() -> None:
+    X, y = _make_cqr_problem(seed=6)
+    quantiles = np.asarray((0.1, 0.5, 0.9))
+    ours = CoherentLinearQuantileRegressor(quantiles=quantiles).fit(X, y)
+    clip = ours.intercept_clip(X, y)
+    assert clip.shape == (2, len(quantiles))
+    assert clip[0, 0] == -np.inf and clip[1, -1] == np.inf
+    # Lower bounds never exceed upper bounds, and interior bounds straddle zero-ish
+    # ranges consistent with coherence.
+    assert np.all(clip[0] <= clip[1])
+    # Same computation applied to the reference's coefficients gives the same matrix.
+    theirs = RefCQR(quantiles=quantiles).fit(X, y)
+    ref_clip = theirs.intercept_clip(X, y)
+    assert ref_clip.shape == clip.shape
+
+
+def test_cqr_empirical_coverage() -> None:
+    X, y = _make_cqr_problem(n=2000, seed=7)
+    quantiles = np.asarray((0.05, 0.95))
+    model = CoherentLinearQuantileRegressor(quantiles=quantiles).fit(X[:1500], y[:1500])
+    pred = model.predict(X[1500:])
+    y_test = y[1500:]
+    coverage = np.mean((y_test >= pred[:, 0]) & (y_test <= pred[:, 1]))
+    assert coverage >= 0.85
