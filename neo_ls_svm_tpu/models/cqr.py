@@ -49,6 +49,31 @@ def _extend_quantiles(quantiles: npt.NDArray, coherence_buffer: int) -> npt.NDAr
     ).astype(quantiles.dtype)
 
 
+def _monotonicity_box(Xs: npt.NDArray, margin: float = 1.0, max_corners: int = 1024) -> npt.NDArray:
+    """Vertices of an inflated bounding box of the (standardised) design matrix.
+
+    An affine function is monotone over a box iff it is monotone at the box's vertices,
+    so constraining the quantile planes at these corners guarantees coherent predictions
+    for every input inside the inflated box — a *stronger* guarantee than the reference
+    LP, which constrains training rows only and can cross just outside them.
+    """
+    lo, hi = Xs.min(axis=0), Xs.max(axis=0)
+    span = hi - lo
+    lo, hi = lo - margin * span, hi + margin * span
+    varying = np.flatnonzero(span > 1e-12)
+    if len(varying) > int(np.log2(max_corners)):
+        # Too many dimensions to enumerate: sample sign patterns instead.
+        gen = np.random.RandomState(0)
+        signs = gen.randint(0, 2, size=(max_corners, len(varying)))
+    else:
+        signs = (
+            (np.arange(2 ** len(varying))[:, None] >> np.arange(len(varying))[None, :]) & 1
+        )
+    corners = np.repeat(Xs[:1], signs.shape[0], axis=0)
+    corners[:, varying] = np.where(signs == 1, hi[varying], lo[varying])
+    return corners
+
+
 def _smoothed_objective(
     B: jax.Array,
     X: jax.Array,
@@ -58,6 +83,7 @@ def _smoothed_objective(
     alpha: jax.Array,
     eps: jax.Array,
     penalty: jax.Array,
+    X_mono: jax.Array,
 ) -> jax.Array:
     """Smoothed pinball + L1 + quadratic-hinge monotonicity penalty; C¹ and jittable."""
     pred = X @ B  # n × Q
@@ -66,7 +92,8 @@ def _smoothed_objective(
     pinball = q[None, :] * r + eps * jax.nn.softplus(-r / eps)
     loss = jnp.sum(s[:, None] * pinball) / q.shape[0]
     loss = loss + alpha * jnp.sum(jnp.sqrt(B * B + 1e-12))
-    violation = jnp.maximum(pred[:, :-1] - pred[:, 1:], 0.0)
+    pred_mono = X_mono @ B
+    violation = jnp.maximum(pred_mono[:, :-1] - pred_mono[:, 1:], 0.0)
     loss = loss + penalty * jnp.mean(violation * violation)
     return loss
 
@@ -81,6 +108,7 @@ def _newton_stage(
     alpha: jax.Array,
     eps: jax.Array,
     penalty: jax.Array,
+    X_mono: jax.Array,
     *,
     num_steps: int,
 ) -> jax.Array:
@@ -89,7 +117,7 @@ def _newton_stage(
     dim = B0.size
 
     def f(flat: jax.Array) -> jax.Array:
-        return _smoothed_objective(flat.reshape(shape), X, y, q, s, alpha, eps, penalty)
+        return _smoothed_objective(flat.reshape(shape), X, y, q, s, alpha, eps, penalty, X_mono)
 
     grad_f = jax.grad(f)
     hess_f = jax.hessian(f)
@@ -163,6 +191,9 @@ def coherent_linear_quantile_regression(
     X_dev = jnp.asarray(Xs, dtype=solver_dtype)
     y_dev = jnp.asarray(ys, dtype=solver_dtype)
     s_dev = jnp.asarray(s, dtype=solver_dtype)
+    corners = _monotonicity_box(Xs)
+    X_mono_np = np.vstack([Xs, corners])
+    X_mono = jnp.asarray(X_mono_np, dtype=solver_dtype)
     B = jnp.asarray(B0)
     # (smoothing, penalty) continuation: exterior penalty hardens as the pinball sharpens.
     for eps_rel, penalty in ((0.3, 1e2), (0.03, 1e3), (3e-3, 1e4), (3e-4, 3e5)):
@@ -175,6 +206,7 @@ def coherent_linear_quantile_regression(
             jnp.asarray(alpha),
             jnp.asarray(eps_rel),
             jnp.asarray(penalty),
+            X_mono,
             num_steps=20,
         )
     B = np.asarray(B)
@@ -186,10 +218,11 @@ def coherent_linear_quantile_regression(
         beta_full[intercept_col, :] = (
             beta_full[intercept_col, :] * x_scale[intercept_col] + offset
         ) / X[0, intercept_col]
-    # Exact training-set monotonicity: cumulative intercept repair of any residual
-    # violations (same guarantee class as the LP, which constrains training rows only).
+    # Exact monotonicity over the inflated box: cumulative intercept repair of any
+    # residual violations, evaluated at the box vertices and the training rows.
     if intercept_col is not None:
-        pred = X @ beta_full
+        X_repair = np.vstack([X, X_mono_np * x_scale[None, :] + x_mean[None, :]])
+        pred = X_repair @ beta_full
         gaps = np.max(pred[:, :-1] - pred[:, 1:], axis=0, initial=0.0)
         shift = np.concatenate([[0.0], np.cumsum(np.maximum(gaps, 0.0))])
         beta_full[intercept_col, :] += shift / X[0, intercept_col]

@@ -1,0 +1,467 @@
+"""Neo LS-SVM — the public sklearn-compatible estimator, TPU-native inside.
+
+Thin orchestration shell over the jitted solvers: validation, task-type inference,
+primal/dual routing, calibration, conformal prediction, and pandas passthrough happen
+at the host boundary (mirroring the reference's ``NeoLSSVM``, ref ``_neo_ls_svm.py:43-821``);
+every O(n·D)+ floating-point operation runs on device through
+``models/primal.py`` / ``models/dual.py``.
+
+Feature parity checklist vs the reference:
+  1. linear-complexity training via orthogonal random Fourier features (primal path)
+  2. zero-cost closed-form LOO tuning of γ
+  3. prediction-surface complexity regulariser (C matrix; identity fast path)
+  4. free LOO residuals/error/score after fit
+  5. supervised learned affine pre-transform
+  6. primal and dual solvers (auto-routed at n = 1024)
+  7. isotonically calibrated ``predict_proba``
+  8. conformally calibrated ``predict_quantiles`` / ``predict_interval``
+  9. Bayesian ``predict_std``
+ 10. pandas in → pandas out
+"""
+
+from typing import Any, Literal
+
+import jax.numpy as jnp
+import numpy as np
+import numpy.typing as npt
+
+from neo_ls_svm_tpu.models.cqr import CoherentLinearQuantileRegressor
+from neo_ls_svm_tpu.models.dual import (
+    dual_decision_function,
+    dual_fit,
+    dual_predict_var,
+)
+from neo_ls_svm_tpu.models.isotonic import IsotonicCalibrator
+from neo_ls_svm_tpu.models.primal import (
+    gamma_grid,
+    primal_decision_function,
+    primal_fit,
+    primal_predict_var,
+)
+from neo_ls_svm_tpu.ops.affine import AffineSeparator
+from neo_ls_svm_tpu.ops.orff import (
+    KernelApproximatingFeatureMap,
+    OrthogonalRandomFourierFeatures,
+)
+from neo_ls_svm_tpu.utils.base import BaseEstimator, clone
+from neo_ls_svm_tpu.utils.metrics import accuracy_score, r2_score
+from neo_ls_svm_tpu.utils.validation import (
+    check_array,
+    check_consistent_length,
+    check_is_fitted,
+    check_X_y,
+    train_test_split,
+)
+
+DUAL_THRESHOLD = 1024  # n ≤ 1024 → dual space (ref _neo_ls_svm.py:375).
+CONFORMAL_L2_MIN = 128  # Level-2 bias needs ≥ 128 samples (ref :514).
+
+
+def _check_n_features(estimator: "NeoLSSVM", X: npt.NDArray) -> npt.NDArray:
+    if X.shape[1] != estimator.n_features_in_:
+        msg = (
+            f"X has {X.shape[1]} features, but {type(estimator).__name__} is expecting "
+            f"{estimator.n_features_in_} features as input."
+        )
+        raise ValueError(msg)
+    return X
+
+
+def _maybe_pandas_series(values: npt.NDArray, X_df: Any) -> Any:
+    if hasattr(X_df, "dtypes") and hasattr(X_df, "index"):
+        try:
+            import pandas as pd
+        except ImportError:
+            return values
+        return pd.Series(values, index=X_df.index)
+    return values
+
+
+class NeoLSSVM(BaseEstimator):
+    """Neo LS-SVM: a modern least-squares SVM with O(n) training, hyperparameter-free
+    LOO tuning, calibrated probabilities, and conformal prediction — running its linear
+    algebra on TPU via JAX/XLA."""
+
+    def __init__(
+        self,
+        *,
+        primal_feature_map: KernelApproximatingFeatureMap | Literal["auto"] = "auto",
+        dual_feature_map: AffineSeparator | Literal["auto"] = "auto",
+        dual: bool | Literal["auto"] = "auto",
+        estimator_type: Literal["auto", "classifier", "regressor"] = "auto",
+        random_state: int | np.random.RandomState | None = 42,
+    ) -> None:
+        self.primal_feature_map = primal_feature_map
+        self.dual_feature_map = dual_feature_map
+        self.dual = dual
+        self.random_state = random_state
+        self.estimator_type = estimator_type
+
+    # ------------------------------------------------------------------ fitting
+
+    def fit(
+        self,
+        X: Any,
+        y: Any,
+        sample_weight: Any = None,
+    ) -> "NeoLSSVM":
+        """Fit this predictor."""
+        X, y = check_X_y(X, y, dtype=(np.float64, np.float32), ensure_min_samples=2)
+        y = np.ravel(np.asarray(y))
+        self.n_features_in_ = X.shape[1]
+        self.y_dtype_: npt.DTypeLike = y.dtype
+        sample_weight_ = (
+            np.ones(y.shape, X.dtype)
+            if sample_weight is None
+            else np.ravel(np.asarray(sample_weight)).astype(X.dtype)
+        )
+        check_consistent_length(y, sample_weight_)
+        # Infer the task type from the target (two classes → classifier; numeric or
+        # datetime-like → regressor; ref :347-373).
+        unique_y = np.unique(y)
+        inferred: str | None = None
+        if len(unique_y) == 2:
+            inferred = "classifier"
+        elif (
+            np.issubdtype(y.dtype, np.number)
+            or np.issubdtype(y.dtype, np.datetime64)
+            or np.issubdtype(y.dtype, np.timedelta64)
+        ):
+            inferred = "regressor"
+        self._estimator_type: str | None = (
+            inferred if self.estimator_type == "auto" else self.estimator_type
+        )
+        y_: npt.NDArray
+        if self._estimator_type == "classifier":
+            self.classes_: npt.NDArray = unique_y
+            y_ = np.ones(y.shape, dtype=X.dtype)
+            y_[y == self.classes_[0]] = -1
+        elif self._estimator_type == "regressor":
+            y_ = y.astype(X.dtype)
+        else:
+            msg = "Target type not supported"
+            raise ValueError(msg)
+        is_classifier = self._estimator_type == "classifier"
+        # Primal vs dual routing (ref :375).
+        self.dual_ = X.shape[0] <= DUAL_THRESHOLD if self.dual == "auto" else self.dual
+        self.primal_ = not self.dual_
+        if self.primal_:
+            self.primal_feature_map_ = clone(
+                OrthogonalRandomFourierFeatures()
+                if self.primal_feature_map == "auto"
+                else self.primal_feature_map
+            )
+            self.primal_feature_map_.fit(X, y_, sample_weight_)
+            M_map, b_map = self.primal_feature_map_.linear_map()
+            self.γs_ = gamma_grid(X.dtype, num=1024)
+            result = primal_fit(
+                jnp.asarray(X),
+                jnp.asarray(M_map.astype(X.dtype)),
+                jnp.asarray(b_map.astype(X.dtype)),
+                jnp.asarray(y_),
+                jnp.asarray(sample_weight_),
+                jnp.asarray(self.γs_),
+                is_classifier=is_classifier,
+            )
+            self._M_map, self._b_map = M_map.astype(X.dtype), b_map.astype(X.dtype)
+            beta_emb = np.asarray(result["beta_emb"])
+            M = beta_emb.shape[0] // 2
+            self.beta_emb_ = beta_emb
+            # Reference-compatible complex coefficient view: β̂ = u + i·v.
+            self.β̂_ = beta_emb[:M] + 1j * beta_emb[M:]
+            self._eig_Qs = np.asarray(result["Qs"])
+            self._eig_lam = np.asarray(result["lam"])
+            self._inv_c0 = float(X.shape[0] * M)
+        else:
+            nz = sample_weight_ > 0
+            X, y_, sample_weight_ = X[nz], y_[nz], sample_weight_[nz]
+            y = y[nz]
+            self.dual_feature_map_ = clone(
+                AffineSeparator() if self.dual_feature_map == "auto" else self.dual_feature_map
+            )
+            self.dual_feature_map_.fit(X, y_, sample_weight_)
+            self.X_ = self.dual_feature_map_.transform(X)
+            self.γs_ = gamma_grid(X.dtype, num=128)
+            result = dual_fit(
+                jnp.asarray(self.X_),
+                jnp.asarray(y_),
+                jnp.asarray(sample_weight_),
+                jnp.asarray(self.γs_),
+                is_classifier=is_classifier,
+            )
+            self.α̂_ = np.asarray(result["alpha"])
+            self._chol = np.asarray(result["chol"])
+        # Shared LOO statistics (the observability API; ref :146-187,295-311).
+        self.γ_ = float(result["gamma"])
+        self.loo_errors_γs_ = np.asarray(result["loo_errors_gammas"])
+        self.loo_residuals_ = np.asarray(result["loo_residuals"])
+        self.loo_ŷ_ = np.asarray(result["loo_yhat"])
+        self.loo_error_ = float(result["loo_error"])
+        self.loo_score_ = float(result["loo_score"])
+        self.loo_std_ = np.asarray(result["loo_std"])
+        self.residuals_ = np.asarray(result["residuals"])
+        if self.primal_:
+            self.loo_leverage_ = np.asarray(result["loo_leverage"])
+        # Isotonic probability calibration on the LOO predictions (ref :406-412).
+        if is_classifier:
+            self.predict_proba_calibrator_ = IsotonicCalibrator(
+                out_of_bounds="clip", y_min=0, y_max=1, increasing=True
+            )
+            target = np.zeros_like(y_)
+            target[y_ == np.max(y_)] = 1.0
+            self.predict_proba_calibrator_.fit(self.loo_ŷ_, target, sample_weight_)
+        # Two-level conformal calibration split (ref :414-430).
+        (
+            self.nonconformity_calib_l1_,
+            self.nonconformity_calib_l2_,
+            self.ŷ_calib_l1_,
+            self.ŷ_calib_l2_,
+            self.residuals_calib_l1_,
+            self.residuals_calib_l2_,
+            self.sample_weight_calib_l1_,
+            self.sample_weight_calib_l2_,
+        ) = train_test_split(
+            self.loo_std_,
+            self.loo_ŷ_,
+            self.loo_residuals_,
+            sample_weight_,
+            train_size=min(1440, max(1024, (X.shape[0] * 2) // 3), X.shape[0] - 1),
+            random_state=self.random_state,
+        )
+        self.conformal_l1_: dict[str, dict[tuple[float, ...], CoherentLinearQuantileRegressor]] = {
+            "Δŷ": {},
+            "Δŷ/ŷ": {},
+        }
+        self.conformal_l2_: dict[str, dict[tuple[float, ...], npt.NDArray]] = {
+            "Δŷ": {},
+            "Δŷ/ŷ": {},
+        }
+        return self
+
+    # ------------------------------------------------------------- core predictors
+
+    def decision_function(self, X: Any) -> Any:
+        """Evaluate the prediction function ŷ(x) (ref ``:655-681``)."""
+        check_is_fitted(self, ["γ_"])
+        X_df = X
+        X = _check_n_features(self, check_array(X, dtype=(np.float64, np.float32)))
+        if self.primal_:
+            yhat = np.asarray(
+                primal_decision_function(
+                    jnp.asarray(X.astype(self._M_map.dtype)),
+                    jnp.asarray(self._M_map),
+                    jnp.asarray(self._b_map),
+                    jnp.asarray(self.beta_emb_),
+                )
+            )
+        else:
+            X_t = self.dual_feature_map_.transform(X)
+            yhat = np.asarray(
+                dual_decision_function(
+                    jnp.asarray(X_t), jnp.asarray(self.X_), jnp.asarray(self.α̂_)
+                )
+            )
+        return _maybe_pandas_series(yhat, X_df)
+
+    def predict_std(self, X: Any) -> Any:
+        """Bayesian estimate of the predictive standard deviation (ref ``:452-487``).
+
+        Uncalibrated; its value is as a nonconformity score for the conformal stack.
+        """
+        check_is_fitted(self, ["γ_"])
+        X_df = X
+        X = _check_n_features(self, check_array(X, dtype=(np.float64, np.float32)))
+        if self.primal_:
+            var = np.asarray(
+                primal_predict_var(
+                    jnp.asarray(X.astype(self._M_map.dtype)),
+                    jnp.asarray(self._M_map),
+                    jnp.asarray(self._b_map),
+                    jnp.asarray(self._eig_Qs),
+                    jnp.asarray(self._eig_lam),
+                    jnp.asarray(np.asarray(self.γ_, dtype=self._M_map.dtype)),
+                    jnp.asarray(np.asarray(self._inv_c0, dtype=self._M_map.dtype)),
+                )
+            )
+        else:
+            X_t = self.dual_feature_map_.transform(X)
+            var = np.asarray(
+                dual_predict_var(jnp.asarray(X_t), jnp.asarray(self.X_), jnp.asarray(self._chol))
+            )
+        return _maybe_pandas_series(np.sqrt(np.maximum(var, 0.0)), X_df)
+
+    # --------------------------------------------------------------- conformal stack
+
+    def _lazily_fit_conformal_predictor(
+        self, target_type: str, quantiles: npt.ArrayLike
+    ) -> tuple[CoherentLinearQuantileRegressor, npt.NDArray]:
+        """Fit-or-fetch the two conformal levels for a quantile tuple (ref ``:489-532``)."""
+        quantiles = np.asarray(quantiles)
+        key = tuple(quantiles)
+        if key in self.conformal_l1_[target_type]:
+            return self.conformal_l1_[target_type][key], self.conformal_l2_[target_type][key]
+        eps = np.finfo(self.ŷ_calib_l1_.dtype).eps
+        abs_yhat_l1 = np.maximum(np.abs(self.ŷ_calib_l1_), eps)
+        X_l1 = self.nonconformity_calib_l1_[:, np.newaxis]
+        if self._estimator_type == "regressor":
+            X_l1 = np.hstack([X_l1, np.abs(self.ŷ_calib_l1_[:, np.newaxis])])
+        relative = "/ŷ" in target_type
+        y_l1 = -self.residuals_calib_l1_ / (abs_yhat_l1 if relative else 1)
+        cqr_l1 = CoherentLinearQuantileRegressor(quantiles=quantiles)
+        cqr_l1.fit(X_l1, y_l1, sample_weight=self.sample_weight_calib_l1_)
+        self.conformal_l1_[target_type][key] = cqr_l1
+        # Level 2: per-quantile bias on top of the level-1 quantile predictions,
+        # clipped so coherence survives (ref :511-531).
+        bias_l2 = np.zeros(quantiles.shape, dtype=self.ŷ_calib_l1_.dtype)
+        if len(self.ŷ_calib_l2_) >= CONFORMAL_L2_MIN:
+            abs_yhat_l2 = np.maximum(np.abs(self.ŷ_calib_l2_), eps)
+            X_l2 = self.nonconformity_calib_l2_[:, np.newaxis]
+            if self._estimator_type == "regressor":
+                X_l2 = np.hstack([X_l2, np.abs(self.ŷ_calib_l2_[:, np.newaxis])])
+            y_l2 = -self.residuals_calib_l2_ / (abs_yhat_l2 if relative else 1)
+            delta_l2 = cqr_l1.predict(X_l2)
+            clip = cqr_l1.intercept_clip(np.vstack([X_l1, X_l2]), np.hstack([y_l1, y_l2]))
+            for j, quantile in enumerate(quantiles):
+                intercept_l2 = np.quantile(y_l2 - delta_l2[:, j], quantile)
+                bias_l2[j] = np.clip(intercept_l2, clip[0, j], clip[1, j])
+        self.conformal_l2_[target_type][key] = bias_l2
+        return cqr_l1, bias_l2
+
+    def predict_quantiles(
+        self,
+        X: Any,
+        *,
+        quantiles: npt.ArrayLike = (0.025, 0.5, 0.975),
+        priority: Literal["accuracy", "coverage"] = "accuracy",
+    ) -> Any:
+        """Predict conformally calibrated quantiles (ref ``:554-624``)."""
+        check_is_fitted(self, ["γ_"])
+        X_df = X
+        X = _check_n_features(self, check_array(X, dtype=(np.float64, np.float32)))
+        yhat = self.decision_function(X)
+        X_cqr = self.predict_std(X)[:, np.newaxis]
+        if self._estimator_type == "regressor":
+            X_cqr = np.hstack([X_cqr, np.abs(yhat[:, np.newaxis])])
+        cqr_abs, bias_abs = self._lazily_fit_conformal_predictor("Δŷ", quantiles)
+        cqr_rel, bias_rel = self._lazily_fit_conformal_predictor("Δŷ/ŷ", quantiles)
+        quantiles = np.asarray(quantiles)
+        bias_abs, bias_rel = bias_abs.copy(), bias_rel.copy()
+        if priority == "coverage":
+            # Only allow outward quantile expansion when coverage has priority.
+            center = 0.5
+            upper, lower = center <= quantiles, quantiles <= center
+            bias_abs[upper] = np.maximum(bias_abs[upper], 0)
+            bias_abs[lower] = np.minimum(bias_abs[lower], 0)
+            bias_rel[upper] = np.maximum(bias_rel[upper], 0)
+            bias_rel[lower] = np.minimum(bias_rel[lower], 0)
+        delta_quantiles = np.dstack(
+            [
+                cqr_abs.predict(X_cqr) + bias_abs[np.newaxis, :],
+                np.abs(yhat[:, np.newaxis]) * (cqr_rel.predict(X_cqr) + bias_rel[np.newaxis, :]),
+            ]
+        )
+        # Per-row choice between absolute and relative conformal corrections: pick the
+        # one with the least dispersion across quantiles (ref :584-589).
+        dispersion = np.std(delta_quantiles, axis=1)
+        delta_quantiles = delta_quantiles[
+            np.arange(delta_quantiles.shape[0]), :, np.argmin(dispersion, axis=-1)
+        ]
+        yhat_quantiles: npt.NDArray = yhat[:, np.newaxis] + delta_quantiles
+        if self._estimator_type == "classifier":
+            yhat_quantiles = np.hstack(
+                [
+                    self.predict_proba_calibrator_.transform(yhat_quantiles[:, j])[:, np.newaxis]
+                    for j in range(yhat_quantiles.shape[1])
+                ]
+            )
+            yhat_quantiles = np.dstack([1 - yhat_quantiles[:, ::-1], yhat_quantiles])
+        if self._estimator_type == "regressor" and not np.issubdtype(self.y_dtype_, np.integer):
+            yhat_quantiles = yhat_quantiles.astype(self.y_dtype_)
+        if hasattr(X_df, "dtypes") and hasattr(X_df, "index"):
+            try:
+                import pandas as pd
+            except ImportError:
+                return yhat_quantiles
+            if self._estimator_type == "regressor":
+                out = pd.DataFrame(yhat_quantiles, index=X_df.index, columns=quantiles)
+            else:
+                neg = pd.DataFrame(yhat_quantiles[:, :, 0], index=X_df.index, columns=quantiles)
+                pos = pd.DataFrame(yhat_quantiles[:, :, 1], index=X_df.index, columns=quantiles)
+                out = pd.concat(
+                    [neg, pos], axis=0, keys=self.classes_, names=["class", X_df.index.name]
+                )
+            out.columns.name = "quantile"
+            return out
+        return yhat_quantiles
+
+    def predict_interval(self, X: Any, *, coverage: float = 0.95) -> Any:
+        """Predict conformally calibrated intervals (ref ``:636-645``)."""
+        lb = (1 - coverage) / 2
+        return self.predict_quantiles(X, quantiles=(lb, 1 - lb), priority="coverage")
+
+    # ------------------------------------------------------------------- prediction
+
+    def predict(
+        self,
+        X: Any,
+        *,
+        coverage: float | None = None,
+        quantiles: npt.ArrayLike | None = None,
+    ) -> Any:
+        """Predict on a given dataset (point, interval, or quantile predictions)."""
+        assert coverage is None or quantiles is None
+        if coverage is not None:
+            return self.predict_interval(X, coverage=coverage)
+        if quantiles is not None:
+            return self.predict_quantiles(X, quantiles=quantiles)
+        check_is_fitted(self, ["γ_"])
+        X_df = X
+        X = _check_n_features(self, check_array(X, dtype=(np.float64, np.float32)))
+        yhat_df = self.decision_function(X)
+        if self._estimator_type == "classifier":
+            # Ties at 0 break to the negative class (sklearn decision_function contract).
+            yhat_sign = np.sign(yhat_df)
+            yhat_sign[yhat_sign == 0] = -1
+            yhat = self.classes_[((yhat_sign + 1) // 2).astype(np.intp)]
+        else:
+            yhat = yhat_df
+        if not np.issubdtype(self.y_dtype_, np.integer):
+            yhat = yhat.astype(self.y_dtype_)
+        return _maybe_pandas_series(yhat, X_df)
+
+    def predict_proba(self, X: Any) -> Any:
+        """Predict class probabilities (classifier) or point predictions (regressor)."""
+        check_is_fitted(self, ["γ_"])
+        X_df = X
+        X = _check_n_features(self, check_array(X, dtype=(np.float64, np.float32)))
+        yhat_df = self.decision_function(X)
+        if self._estimator_type == "classifier":
+            proba_pos = self.predict_proba_calibrator_.transform(yhat_df)
+            proba = np.hstack([1 - proba_pos[:, np.newaxis], proba_pos[:, np.newaxis]])
+        else:
+            proba = yhat_df
+            if not np.issubdtype(self.y_dtype_, np.integer):
+                proba = yhat_df.astype(self.y_dtype_)
+        if hasattr(X_df, "dtypes") and hasattr(X_df, "index"):
+            try:
+                import pandas as pd
+            except ImportError:
+                return proba
+            if self._estimator_type == "classifier":
+                return pd.DataFrame(proba, index=X_df.index, columns=self.classes_)
+            return pd.Series(proba, index=X_df.index)
+        return proba
+
+    def score(self, X: Any, y: Any, sample_weight: npt.NDArray | None = None) -> float:
+        """Accuracy (classifier) or R² (regressor) on the given data."""
+        yhat = self.predict(X)
+        if self._estimator_type == "classifier":
+            return accuracy_score(np.asarray(y), np.asarray(yhat), sample_weight=sample_weight)
+        return r2_score(
+            np.asarray(y).astype(np.float64),
+            np.asarray(yhat).astype(np.float64),
+            sample_weight=sample_weight,
+        )
+
+    def _more_tags(self) -> dict[str, Any]:
+        return {"binary_only": True, "requires_y": True}

@@ -91,7 +91,7 @@ def _sweep_objective(
 
 @partial(
     jax.jit,
-    static_argnames=("is_classifier", "gamma_chunk", "precision"),
+    static_argnames=("is_classifier", "gamma_chunk", "precision", "num_samples"),
 )
 def primal_fit(
     X: jax.Array,
@@ -104,14 +104,18 @@ def primal_fit(
     is_classifier: bool,
     gamma_chunk: int = 128,
     precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
+    num_samples: int | None = None,
 ) -> dict[str, jax.Array]:
     """Fit the primal LS-SVM and tune γ by closed-form leave-one-out error.
 
     Returns a pytree with the fitted coefficients (in embedding space), the eigenbasis
     needed for out-of-sample predictive variance, and every LOO statistic the estimator
     exposes (ref attribute list ``_neo_ls_svm.py:146-187``).
+
+    ``num_samples`` overrides the row count used in the c₀ normalisation so callers may
+    pad X with zero-weight rows (for sharding alignment) without perturbing the solution.
     """
-    n = X.shape[0]
+    n = X.shape[0] if num_samples is None else num_samples
     dtype = X.dtype
     s = sample_weight / jnp.sum(sample_weight)
     s2 = s * s

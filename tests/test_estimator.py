@@ -1,0 +1,183 @@
+"""End-to-end tests of the public NeoLSSVM estimator.
+
+Mirrors the reference's test strategy (SURVEY.md §4): full-pipeline comparison against
+the upstream implementation, behavioural floors (quantile monotonicity, conformal
+coverage, beats classic SVMs), and pandas passthrough — on offline synthetic datasets.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from neo_ls_svm_tpu import NeoLSSVM
+
+from .conftest import make_classification_dataset, make_regression_dataset
+from .reference_shim import import_reference
+
+import_reference()
+from neo_ls_svm import NeoLSSVM as RefNeoLSSVM  # noqa: E402
+
+
+def _datasets(task: str, n: int, seed: int = 31):
+    if task == "regression":
+        X, y = make_regression_dataset(n=n, seed=seed)
+    else:
+        X, y = make_classification_dataset(n=n, seed=seed)
+    split = int(0.85 * n)
+    return (X[:split], y[:split]), (X[split:], y[split:])
+
+
+@pytest.mark.parametrize("task", ["regression", "classification"])
+@pytest.mark.parametrize("n", [1600, 700])  # primal (>1024) and dual (≤1024) routes
+def test_full_fit_matches_reference(task, n) -> None:
+    (X, y), (X_test, y_test) = _datasets(task, n)
+    ours = NeoLSSVM().fit(X, y)
+    theirs = RefNeoLSSVM().fit(X, y)
+    assert ours.primal_ == theirs.primal_
+    # γ selection and LOO statistics: the north-star parity gate.
+    assert ours.γ_ == pytest.approx(theirs.γ_, rel=1e-10)
+    np.testing.assert_allclose(ours.loo_residuals_, theirs.loo_residuals_, rtol=1e-5, atol=1e-8)
+    np.testing.assert_allclose(ours.loo_std_, theirs.loo_std_, rtol=1e-4, atol=1e-8)
+    assert ours.loo_score_ == pytest.approx(theirs.loo_score_, rel=1e-6)
+    # Decision function and predictions.
+    np.testing.assert_allclose(
+        ours.decision_function(X_test), theirs.decision_function(X_test), rtol=1e-5, atol=1e-8
+    )
+    if task == "classification":
+        assert np.array_equal(ours.predict(X_test), theirs.predict(X_test))
+        np.testing.assert_allclose(
+            ours.predict_proba(X_test), theirs.predict_proba(X_test), atol=1e-6
+        )
+    else:
+        np.testing.assert_allclose(ours.predict(X_test), theirs.predict(X_test), rtol=1e-5)
+    assert ours.score(X_test, y_test) == pytest.approx(theirs.score(X_test, y_test), abs=1e-5)
+    np.testing.assert_allclose(
+        ours.predict_std(X_test), theirs.predict_std(X_test), rtol=1e-4, atol=1e-8
+    )
+
+
+@pytest.mark.parametrize("task", ["regression", "classification"])
+def test_beats_classic_svm(task) -> None:
+    from sklearn.svm import SVC, SVR
+
+    (X, y), (X_test, y_test) = _datasets(task, 2000)
+    # Realistic tabular data has wildly heterogeneous feature scales (the reference's
+    # benchmark protocol applies no scaling, ref README.md:139); the learned affine
+    # normalizer is one of the reference's headline advantages over raw-kernel SVMs.
+    scales = np.logspace(-2, 3, X.shape[1])
+    X, X_test = X * scales, X_test * scales
+    ours = NeoLSSVM().fit(X, y)
+    if task == "classification":
+        svm_score = SVC().fit(X, y).score(X_test, y_test)
+    else:
+        svm_score = SVR().fit(X, y).score(X_test, y_test)
+    assert ours.score(X_test, y_test) > svm_score
+
+
+def _make_priced_dataset(n: int = 6000, d: int = 8, seed: int = 31):
+    """Price-like regression target: positive, bounded away from zero.
+
+    The conformal stack chooses per-row between absolute and relative (×|ŷ|) quantile
+    corrections by minimum dispersion (ref _neo_ls_svm.py:584-589); when ŷ ≈ 0 the
+    relative branch degenerates to near-zero width and wins the dispersion contest, so
+    centered targets systematically under-cover — in the reference too (verified: the
+    reference scores 0.576 empirical coverage at 0.7 on a centered synthetic target).
+    The reference's benchmark targets (house prices etc.) are positive, which is the
+    regime where its ≥ 0.97×coverage test floor actually holds. Mirror that regime.
+    """
+    gen = np.random.RandomState(seed)
+    X = gen.randn(n, d)
+    noise = (0.3 + 0.3 * np.abs(X[:, 5])) * gen.randn(n)
+    y = 10.0 + np.sin(X[:, 0]) + 0.5 * X[:, 1] + 0.3 * np.abs(X[:, 3]) + noise
+    split = int(0.85 * n)
+    return (X[:split], y[:split]), (X[split:], y[split:])
+
+
+def test_quantiles_monotone_and_interval_coverage() -> None:
+    (X, y), (X_test, y_test) = _make_priced_dataset()
+    model = NeoLSSVM().fit(X, y)
+    quantiles = (0.05, 0.1, 0.25, 0.5, 0.75, 0.9, 0.95)
+    yq = model.predict_quantiles(X_test, quantiles=quantiles)
+    assert yq.shape == (len(X_test), len(quantiles))
+    assert np.all(np.diff(yq, axis=1) >= -1e-9)
+    for coverage in (0.7, 0.8, 0.9, 0.95):
+        interval = model.predict_interval(X_test, coverage=coverage)
+        empirical = np.mean((interval[:, 0] <= y_test) & (y_test <= interval[:, 1]))
+        assert empirical >= 0.97 * coverage
+
+
+def test_classifier_quantiles_are_probability_tensors() -> None:
+    (X, y), (X_test, y_test) = _datasets("classification", 1600)
+    model = NeoLSSVM().fit(X, y)
+    yq = model.predict_quantiles(X_test, quantiles=(0.25, 0.5, 0.75))
+    assert yq.shape == (len(X_test), 3, 2)
+    assert np.all((yq >= 0) & (yq <= 1))
+    # Quantiles are monotone per class, and the negative-class quantiles are the
+    # reversed complement of the positive-class ones (ref _neo_ls_svm.py:600).
+    assert np.all(np.diff(yq[:, :, 0], axis=1) >= -1e-12)
+    assert np.all(np.diff(yq[:, :, 1], axis=1) >= -1e-12)
+    np.testing.assert_allclose(yq[:, :, 0], 1 - yq[:, ::-1, 1], atol=1e-12)
+
+
+@pytest.mark.parametrize("task", ["regression", "classification"])
+def test_pandas_passthrough(task) -> None:
+    (X, y), (X_test, y_test) = _datasets(task, 1500)
+    cols = [f"f{i}" for i in range(X.shape[1])]
+    X_df = pd.DataFrame(X, columns=cols)
+    X_test_df = pd.DataFrame(X_test, columns=cols, index=np.arange(len(X_test)) + 1000)
+    y_s = pd.Series(y)
+    model_np = NeoLSSVM().fit(X, y)
+    model_pd = NeoLSSVM().fit(X_df, y_s)
+    # numpy in → numpy out; pandas in → pandas out, same values, index preserved.
+    pred_np = model_np.predict(X_test)
+    pred_pd = model_pd.predict(X_test_df)
+    assert isinstance(pred_np, np.ndarray)
+    assert isinstance(pred_pd, pd.Series)
+    assert pred_pd.index[0] == 1000
+    np.testing.assert_array_equal(np.asarray(pred_pd), pred_np)
+    assert isinstance(model_pd.decision_function(X_test_df), pd.Series)
+    assert isinstance(model_pd.predict_std(X_test_df), pd.Series)
+    yq_pd = model_pd.predict_quantiles(X_test_df, quantiles=(0.25, 0.75))
+    assert isinstance(yq_pd, pd.DataFrame)
+    assert yq_pd.columns.name == "quantile"
+    proba_pd = model_pd.predict_proba(X_test_df)
+    if task == "classification":
+        assert isinstance(proba_pd, pd.DataFrame)
+        assert list(proba_pd.columns) == list(model_pd.classes_)
+        # predict_quantiles for a classifier: MultiIndex (class, row index).
+        assert isinstance(yq_pd.index, pd.MultiIndex)
+    else:
+        assert isinstance(proba_pd, pd.Series)
+
+
+def test_sample_weight_and_estimator_contract() -> None:
+    (X, y), (X_test, y_test) = _datasets("regression", 1500)
+    w = np.random.RandomState(0).rand(len(y)) + 0.25
+    model = NeoLSSVM().fit(X, y, sample_weight=w)
+    assert model.score(X_test, y_test) > 0.3
+    # Contract probes.
+    from neo_ls_svm_tpu.utils.base import clone
+    from neo_ls_svm_tpu.utils.validation import NotFittedError
+
+    fresh = clone(model)
+    with pytest.raises(NotFittedError):
+        fresh.predict(X_test)
+    with pytest.raises(ValueError):
+        NeoLSSVM().fit(X[:, 0], y)  # 1-D X
+    with pytest.raises(ValueError):
+        bad = X.copy()
+        bad[0, 0] = np.nan
+        NeoLSSVM().fit(bad, y)
+    params = model.get_params()
+    assert params["estimator_type"] == "auto"
+    model2 = NeoLSSVM(**{k: v for k, v in params.items() if "__" not in k})
+    assert isinstance(model2, NeoLSSVM)
+
+
+def test_explicit_dual_and_primal_override() -> None:
+    (X, y), (X_test, y_test) = _datasets("regression", 900)
+    forced_primal = NeoLSSVM(dual=False).fit(X, y)
+    assert forced_primal.primal_
+    forced_dual_score = NeoLSSVM(dual=True).fit(X, y).score(X_test, y_test)
+    primal_score = forced_primal.score(X_test, y_test)
+    assert forced_dual_score > 0.3 and primal_score > 0.3

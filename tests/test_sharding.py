@@ -1,0 +1,55 @@
+"""Multi-chip sharding tests on the 8-virtual-device CPU mesh."""
+
+import jax
+import numpy as np
+import pytest
+
+from neo_ls_svm_tpu.models.primal import gamma_grid, primal_fit
+from neo_ls_svm_tpu.ops.orff import OrthogonalRandomFourierFeatures
+from neo_ls_svm_tpu.parallel.mesh import make_mesh, required_padding, sharded_primal_fit
+
+from .conftest import make_regression_dataset
+
+
+def test_virtual_device_count() -> None:
+    assert len(jax.devices()) == 8
+
+
+@pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2)])
+def test_sharded_primal_fit_matches_single_device(mesh_shape) -> None:
+    X, y = make_regression_dataset(n=1500, seed=41)  # 1500 % 8 != 0 → exercises padding
+    s = np.ones_like(y)
+    fmap = OrthogonalRandomFourierFeatures(num_features=64).fit(X, y, s)
+    M_map, b_map = fmap.linear_map()
+    gammas = gamma_grid(np.float64)
+
+    import jax.numpy as jnp
+
+    single = primal_fit(
+        jnp.asarray(X),
+        jnp.asarray(M_map),
+        jnp.asarray(b_map),
+        jnp.asarray(y),
+        jnp.asarray(s),
+        jnp.asarray(gammas),
+        is_classifier=False,
+    )
+    mesh = make_mesh(num_data=mesh_shape[0], num_feature=mesh_shape[1])
+    sharded = sharded_primal_fit(
+        mesh, X, M_map, b_map, y, s, gammas, is_classifier=False
+    )
+    assert float(sharded["gamma"]) == pytest.approx(float(single["gamma"]), rel=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(sharded["loo_residuals"]), np.asarray(single["loo_residuals"]), rtol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded["beta_emb"]), np.asarray(single["beta_emb"]), rtol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded["loo_std"]), np.asarray(single["loo_std"]), rtol=1e-7
+    )
+
+
+def test_required_padding() -> None:
+    assert required_padding(1500, 8) == 4
+    assert required_padding(1600, 8) == 0
