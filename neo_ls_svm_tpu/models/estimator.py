@@ -463,5 +463,25 @@ class NeoLSSVM(BaseEstimator):
             sample_weight=sample_weight,
         )
 
+    # ---------------------------------------------------------------- persistence
+
+    def to_state_dict(self) -> dict[str, Any]:
+        """Serialise the fitted model to a nested dict of plain arrays/scalars.
+
+        The result is orbax-/np.savez-storable; ``NeoLSSVM.from_state_dict`` restores a
+        model whose predictions are bit-identical. Plain pickling also works.
+        """
+        from neo_ls_svm_tpu.utils.serialization import model_to_state_dict
+
+        check_is_fitted(self, ["γ_"])
+        return model_to_state_dict(self)
+
+    @classmethod
+    def from_state_dict(cls, state: dict[str, Any]) -> "NeoLSSVM":
+        """Reconstruct a fitted model from :meth:`to_state_dict` output."""
+        from neo_ls_svm_tpu.utils.serialization import model_from_state_dict
+
+        return model_from_state_dict(state)
+
     def _more_tags(self) -> dict[str, Any]:
         return {"binary_only": True, "requires_y": True}

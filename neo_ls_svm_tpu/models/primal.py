@@ -119,14 +119,17 @@ def primal_fit(
     dtype = X.dtype
     s = sample_weight / jnp.sum(sample_weight)
     s2 = s * s
-    W = _features_real_pair(X, M_map, b_map, precision=precision)
+    with jax.named_scope("featmap"):
+        W = _features_real_pair(X, M_map, b_map, precision=precision)
     M2 = W.shape[1]
     M = M2 // 2
     # c₀: the normalised complexity matrix is c₀·I with c₀ = 1/(n·M) (ref :117-118 with
     # the shipped identity complexity matrix; φ.size = n·M).
     inv_c0 = jnp.asarray(n * M, dtype)
-    B = _embedding_gram(W, s2, precision=precision)
-    lam, Q = jnp.linalg.eigh(inv_c0 * B)
+    with jax.named_scope("gram"):
+        B = _embedding_gram(W, s2, precision=precision)
+    with jax.named_scope("eigh"):
+        lam, Q = jnp.linalg.eigh(inv_c0 * B)
     # Z = [P, -N] = W @ blockdiag(I, -I); fold the sign flip into Q once.
     sign = jnp.concatenate([jnp.ones((M,), dtype), -jnp.ones((M,), dtype)])
     Qs = sign[:, None] * Q  # Qs = J@Q so that Z@Q = W@Qs and Zᵀv = Qsᵀ(Wᵀv).
@@ -150,7 +153,8 @@ def primal_fit(
         return _sweep_objective(e, s, is_classifier)
 
     g_chunks = gammas.reshape(-1, gamma_chunk)
-    loo_err_chunks, obj_chunks = jax.lax.map(sweep_chunk, g_chunks)
+    with jax.named_scope("gamma_sweep"):
+        loo_err_chunks, obj_chunks = jax.lax.map(sweep_chunk, g_chunks)
     loo_errors_gs = loo_err_chunks.reshape(-1)
     objective = obj_chunks.reshape(-1)
     optimum = jnp.argmin(objective)
@@ -175,7 +179,8 @@ def primal_fit(
     # Re-solve (γC + A)β̂ = φᴴS²y at the optimum via Cholesky for accuracy (ref :177-178),
     # in embedding space: (γ·c₀·I + B) β̂_emb = Zᵀ S² y.
     B_reg = B + (gamma_opt / inv_c0) * jnp.eye(M2, dtype=dtype)
-    L = jax.scipy.linalg.cholesky(B_reg, lower=True)
+    with jax.named_scope("cholesky_resolve"):
+        L = jax.scipy.linalg.cholesky(B_reg, lower=True)
     rhs = sign * b_vec  # Zᵀ S² y = J Wᵀ S² y
     beta_emb = jax.scipy.linalg.cho_solve((L, True), rhs)
     # Z @ β̂_emb = Gu @ (Q̃ᵀ β̂_emb) with Q̃ = J@Qs, i.e. contract through sign*β̂_emb.

@@ -1,0 +1,94 @@
+"""Native (C++) host-side kernels, loaded via ctypes.
+
+The only host-side hot loops in this framework are the quantizer's sequential ECDF
+knot scans (the reference compiles the same loops with numba, ``_quantizer.py:18-73``).
+They are built lazily with the system C++ compiler on first import and cached next to
+the source; when no compiler is available the package transparently falls back to the
+pure-Python implementation in ``ops/quantizer.py``.
+"""
+
+import ctypes
+import os
+import subprocess
+import tempfile
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "knot_scan.cpp")
+_LIB_PATH = os.path.join(_HERE, "_knot_scan.so")
+
+
+def _build_library() -> str | None:
+    if os.path.exists(_LIB_PATH) and os.path.getmtime(_LIB_PATH) >= os.path.getmtime(_SRC):
+        return _LIB_PATH
+    for compiler in ("g++", "c++", "clang++"):
+        try:
+            # Build in a temp file then atomically rename, so concurrent imports race safely.
+            with tempfile.NamedTemporaryFile(
+                suffix=".so", dir=_HERE, delete=False
+            ) as tmp:
+                tmp_path = tmp.name
+            result = subprocess.run(
+                [compiler, "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", tmp_path],
+                capture_output=True,
+                timeout=120,
+            )
+            if result.returncode == 0:
+                os.replace(tmp_path, _LIB_PATH)
+                return _LIB_PATH
+            os.unlink(tmp_path)
+        except (OSError, subprocess.SubprocessError):
+            continue
+    return None
+
+
+_lib = None
+_lib_path = _build_library()
+if _lib_path is not None:
+    try:
+        _lib = ctypes.CDLL(_lib_path)
+        _lib.knot_scan.restype = ctypes.c_int64
+        _lib.knot_scan.argtypes = [
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+    except OSError:
+        _lib = None
+
+if _lib is None:
+    knot_scan = None  # ops/quantizer.py falls back to the pure-Python scan.
+else:
+
+    def knot_scan(
+        xs: np.ndarray,
+        ys: np.ndarray,
+        knot: int,
+        max_bin_error: int,
+        max_bin_size: int,
+        direction: int,
+    ) -> tuple[int, int]:
+        """Native counterpart of ``ops.quantizer._scan_knot`` (identical semantics).
+
+        Callers pass float64/int64 contiguous arrays (the quantizer casts once per
+        histogram), so no per-call copies happen here.
+        """
+        assert xs.dtype == np.float64 and ys.dtype == np.int64
+        count = ctypes.c_int64(0)
+        new_knot = _lib.knot_scan(
+            xs.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            ys.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(xs),
+            knot,
+            max_bin_error,
+            max_bin_size,
+            direction,
+            ctypes.byref(count),
+        )
+        return int(new_knot), int(count.value)

@@ -87,10 +87,11 @@ def hist_quantized_ecdf(
     abs_merge_size = int(merge_bin_size * len(x))
     uniq, counts = np.unique(x, return_counts=True)
     cum = np.cumsum(counts)
-    # Sentinel-extended arrays: the scans may run off either end.
-    sentinel_dtype = uniq.dtype if np.issubdtype(uniq.dtype, np.floating) else np.float64
-    xs = np.concatenate(([-np.inf], uniq.astype(sentinel_dtype), [np.inf]))
-    ys = np.concatenate(([0], cum, [np.iinfo(cum.dtype).max]))
+    # Sentinel-extended arrays: the scans may run off either end. Scans run in
+    # float64/int64 (cast once here — the native kernel and the Python fallback share
+    # the representation).
+    xs = np.concatenate(([-np.inf], uniq.astype(np.float64), [np.inf]))
+    ys = np.concatenate(([0], cum.astype(np.int64), [np.iinfo(np.int64).max]))
     left, right = 1, len(xs) - 1
     edges_left: list[float] = [float(uniq[0])]
     edges_right: list[float] = [float(uniq[-1])]
