@@ -32,8 +32,8 @@ import numpy.typing as npt
 from neo_ls_svm_tpu.utils.base import BaseEstimator, RegressorMixin
 from neo_ls_svm_tpu.utils.validation import (
     check_array,
-    check_consistent_length,
     check_is_fitted,
+    check_sample_weight,
     check_X_y,
 )
 from neo_ls_svm_tpu.ops.weighted_quantile import weighted_quantile
@@ -263,8 +263,7 @@ class CoherentLinearQuantileRegressor(RegressorMixin, BaseEstimator):
             X, y = X.astype(np.float64), y.astype(np.float64)
         y = y.astype(X.dtype)
         if sample_weight is not None:
-            check_consistent_length(y, sample_weight)
-            sample_weight = np.asarray(sample_weight).astype(y.dtype)
+            sample_weight = check_sample_weight(sample_weight, len(y), dtype=y.dtype)
         if self.fit_intercept:
             X = np.hstack([X, np.ones((X.shape[0], 1), dtype=X.dtype)])
         self.β_, self.β_full_ = coherent_linear_quantile_regression(
@@ -280,6 +279,12 @@ class CoherentLinearQuantileRegressor(RegressorMixin, BaseEstimator):
         """Predict the quantiles on a given dataset (one column per quantile)."""
         check_is_fitted(self, ["β_"])
         X = check_array(X, dtype=(self.β_.dtype,))
+        if X.shape[1] != self.n_features_in_:
+            msg = (
+                f"X has {X.shape[1]} features, but CoherentLinearQuantileRegressor is "
+                f"expecting {self.n_features_in_} features as input."
+            )
+            raise ValueError(msg)
         if self.fit_intercept:
             X = np.hstack([X, np.ones((X.shape[0], 1), dtype=X.dtype)])
         pred: npt.NDArray = X @ self.β_

@@ -116,6 +116,9 @@ class NeoLSSVM(BaseEstimator):
             else np.ravel(np.asarray(sample_weight)).astype(X.dtype)
         )
         check_consistent_length(y, sample_weight_)
+        if np.sum(sample_weight_) <= 0:
+            msg = "The sample weights are all zero; at least one weight must be positive."
+            raise ValueError(msg)
         # Infer the task type from the target (two classes → classifier; numeric or
         # datetime-like → regressor; ref :347-373).
         unique_y = np.unique(y)
@@ -132,6 +135,19 @@ class NeoLSSVM(BaseEstimator):
             inferred if self.estimator_type == "auto" else self.estimator_type
         )
         y_: npt.NDArray
+        if self._estimator_type == "classifier" and len(unique_y) != 2:
+            # Explicitly-requested classifier with a non-binary target.
+            if np.issubdtype(y.dtype, np.floating) and np.any(y != np.round(y)):
+                msg = (
+                    "Unknown label type: continuous. Maybe you are trying to fit a "
+                    "classifier, which expects discrete classes on a regression target."
+                )
+                raise ValueError(msg)
+            msg = (
+                "Only binary classification is supported. The type of the target is "
+                f"{'multiclass' if len(unique_y) > 2 else 'constant'}."
+            )
+            raise ValueError(msg)
         if self._estimator_type == "classifier":
             self.classes_: npt.NDArray = unique_y
             y_ = np.ones(y.shape, dtype=X.dtype)
@@ -485,3 +501,16 @@ class NeoLSSVM(BaseEstimator):
 
     def _more_tags(self) -> dict[str, Any]:
         return {"binary_only": True, "requires_y": True}
+
+    def __sklearn_tags__(self):  # noqa: ANN204 - sklearn protocol
+        from sklearn.utils import ClassifierTags, InputTags, RegressorTags, Tags, TargetTags
+
+        kind = None if self.estimator_type == "auto" else self.estimator_type
+        kind = getattr(self, "_estimator_type", None) or kind
+        return Tags(
+            estimator_type=kind,
+            target_tags=TargetTags(required=True),
+            classifier_tags=ClassifierTags(multi_class=False) if kind == "classifier" else None,
+            regressor_tags=RegressorTags() if kind == "regressor" else None,
+            input_tags=InputTags(),
+        )

@@ -68,6 +68,31 @@ class BaseEstimator:
     def _fitted_attribute_names(self) -> list[str]:
         return [k for k in vars(self) if k.endswith("_") and not k.startswith("_")]
 
+    # sklearn interop: the kind subclasses advertise ("classifier", "regressor",
+    # "transformer", or None). Only consulted when scikit-learn is installed.
+    _estimator_kind: str | None = None
+
+    def __sklearn_tags__(self):  # noqa: ANN204 - sklearn protocol type lives in sklearn
+        from sklearn.utils import (  # noqa: PLC0415
+            ClassifierTags,
+            InputTags,
+            RegressorTags,
+            Tags,
+            TargetTags,
+            TransformerTags,
+        )
+
+        kind = self._estimator_kind
+        tags = Tags(
+            estimator_type=kind,
+            target_tags=TargetTags(required=kind in ("classifier", "regressor")),
+            transformer_tags=TransformerTags() if kind == "transformer" else None,
+            classifier_tags=ClassifierTags() if kind == "classifier" else None,
+            regressor_tags=RegressorTags() if kind == "regressor" else None,
+            input_tags=InputTags(),
+        )
+        return tags
+
 
 class TransformerMixin:
     """Adds ``fit_transform`` to transformers."""

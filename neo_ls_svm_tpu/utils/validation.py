@@ -8,14 +8,32 @@ without a scikit-learn dependency. Everything here is host-side NumPy: validatio
 once at the API boundary before data is staged onto the TPU.
 """
 
+import warnings
 from typing import Any
 
 import numpy as np
 import numpy.typing as npt
 
 
-class NotFittedError(ValueError, AttributeError):
+try:  # Inherit sklearn's exception/warning types when sklearn is installed, so user
+    # code (and sklearn's own estimator checks) can catch them; otherwise standalone.
+    from sklearn.exceptions import DataConversionWarning as _DataConversionWarningBase
+    from sklearn.exceptions import NotFittedError as _NotFittedErrorBase
+except ImportError:  # pragma: no cover - sklearn is present in dev environments.
+
+    class _NotFittedErrorBase(ValueError, AttributeError):  # type: ignore[no-redef]
+        pass
+
+    class _DataConversionWarningBase(UserWarning):  # type: ignore[no-redef]
+        pass
+
+
+class NotFittedError(_NotFittedErrorBase):
     """Raised when a predict-family method is called before ``fit``."""
+
+
+class DataConversionWarning(_DataConversionWarningBase):
+    """Warned when the input data's shape or dtype is silently converted."""
 
 
 def is_pandas(obj: Any) -> bool:
@@ -84,11 +102,10 @@ def check_array(
         X = X.to_numpy()
     X = np.asarray(X)
     if X.dtype == object:
-        try:
-            X = X.astype(np.float64)
-        except (TypeError, ValueError) as exc:
-            msg = f"Unable to convert array of type {X.dtype} to numeric: {exc}"
-            raise ValueError(msg) from exc
+        # Propagate the conversion error untouched: its type and message ("could not
+        # convert string to float", "float() argument must be a string...") are the
+        # sklearn-compatible contract.
+        X = X.astype(np.float64)
     if np.issubdtype(X.dtype, np.complexfloating):
         msg = "Complex data not supported."
         raise ValueError(msg)
@@ -120,7 +137,7 @@ def check_array(
         )
         raise ValueError(msg)
     if ensure_2d and X.shape[1] < 1:
-        msg = "Found array with 0 feature(s) while a minimum of 1 is required."
+        msg = f"Found array with 0 feature(s) (shape={X.shape}) while a minimum of 1 is required."
         raise ValueError(msg)
     return X
 
@@ -135,13 +152,19 @@ def check_X_y(
 ) -> tuple[npt.NDArray[Any], npt.NDArray[Any]]:
     """Validate a feature matrix and target vector together."""
     if y is None:
-        msg = "y cannot be None; this estimator requires y."
+        msg = "This estimator requires y to be passed, but the target y is None."
         raise ValueError(msg)
     X = check_array(X, dtype=dtype, ensure_min_samples=ensure_min_samples)
     if hasattr(y, "to_numpy"):
         y = y.to_numpy()
     y = np.asarray(y)
     if y.ndim == 2 and y.shape[1] == 1:
+        warnings.warn(
+            "A column-vector y was passed when a 1d array was expected. Please change "
+            "the shape of y to (n_samples,), for example using ravel().",
+            DataConversionWarning,
+            stacklevel=2,
+        )
         y = np.ravel(y)
     if y.ndim != 1:
         msg = f"y should be a 1d array, got an array of shape {y.shape} instead."
@@ -153,6 +176,28 @@ def check_X_y(
         raise ValueError(msg)
     check_consistent_length(X, y)
     return X, y
+
+
+def check_sample_weight(
+    sample_weight: Any, n_samples: int, dtype: npt.DTypeLike = np.float64
+) -> npt.NDArray[np.floating]:
+    """Validate a sample-weight vector: 1-D, length n, nonnegative, not all zero."""
+    sample_weight = np.asarray(sample_weight, dtype=dtype)
+    if sample_weight.ndim != 1:
+        msg = f"Sample weights must be 1D array or scalar, got shape {sample_weight.shape}."
+        raise ValueError(msg)
+    if sample_weight.shape[0] != n_samples:
+        msg = (
+            f"sample_weight.shape == {sample_weight.shape}, expected ({n_samples},)!"
+        )
+        raise ValueError(msg)
+    if np.any(sample_weight < 0):
+        msg = "Sample weights must be nonnegative."
+        raise ValueError(msg)
+    if np.sum(sample_weight) <= 0:
+        msg = "The sample weights are all zero; at least one weight must be positive."
+        raise ValueError(msg)
+    return sample_weight
 
 
 def train_test_split(

@@ -1,0 +1,54 @@
+"""sklearn estimator-contract battery (mirrors ref ``tests/test_neo_ls_svm.py:111-116``).
+
+On scikit-learn 1.9 the *reference* fails four checks (verified in this environment:
+check_estimator_tags_renamed, check_n_features_in_after_fitting,
+check_all_zero_sample_weights_error, check_sample_weight_equivalence_on_dense_data).
+This implementation fails two, both knowingly:
+
+* ``check_sample_weight_equivalence_on_dense_data`` — inherent to the algorithm family
+  (shared with the reference): the affine separator samples edges through
+  ``RandomState.choice(p=weights)``, so integer weights and literally repeated rows
+  consume different RNG streams, and the discrete LOO γ-argmin amplifies the
+  difference far beyond rtol 1e-7.
+* ``check_regressors_no_decision_function`` — deliberate API parity: the reference
+  exposes ``decision_function``/``predict_proba`` for regressors too
+  (ref ``_neo_ls_svm.py:655,772``).
+"""
+
+import pytest
+from sklearn.utils.estimator_checks import check_estimator
+
+from neo_ls_svm_tpu import NeoLSSVM
+from neo_ls_svm_tpu.models.cqr import CoherentLinearQuantileRegressor
+
+EXPECTED_FAILURES = {
+    "check_sample_weight_equivalence_on_dense_data": (
+        "weight-vs-repetition equivalence cannot hold: RNG-based edge sampling and the"
+        " discrete LOO gamma argmin (the reference fails this check too)"
+    ),
+    "check_regressors_no_decision_function": (
+        "decision_function/predict_proba exist for regressors by reference API parity"
+    ),
+}
+
+
+@pytest.mark.parametrize("kind", ["regressor", "classifier"])
+def test_check_estimator_neo_ls_svm(kind) -> None:
+    check_estimator(
+        NeoLSSVM(estimator_type=kind),
+        expected_failed_checks=EXPECTED_FAILURES,
+    )
+
+
+def test_check_estimator_cqr() -> None:
+    # Mirrors ref tests/test_coherent_linear_quantile_regressor.py:8-11.
+    results = check_estimator(CoherentLinearQuantileRegressor(quantiles=(0.5,)), on_fail=None)
+    failed = [r for r in results if r.get("status") == "failed"]
+    allowed = {
+        # Same weight-vs-repetition caveat: the smoothed solve is deterministic but the
+        # pinball objective has non-unique minimisers, so tiny formulation differences
+        # exceed rtol 1e-7.
+        "check_sample_weight_equivalence_on_dense_data",
+    }
+    unexpected = [r["check_name"] for r in failed if r["check_name"] not in allowed]
+    assert not unexpected, f"unexpected check_estimator failures: {unexpected}"
