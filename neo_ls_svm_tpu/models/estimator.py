@@ -21,6 +21,7 @@ Feature parity checklist vs the reference:
 
 from typing import Any, Literal
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import numpy.typing as npt
@@ -170,6 +171,20 @@ class NeoLSSVM(BaseEstimator):
             self.primal_feature_map_.fit(X, y_, sample_weight_)
             M_map, b_map = self.primal_feature_map_.linear_map()
             self.γs_ = gamma_grid(X.dtype, num=1024)
+            # Surface-complexity regulariser. The shipped complexity matrix is the
+            # identity (fast path, C_emb=None); a custom feature map with a nontrivial
+            # matrix routes through the whitened-GEVD path (ref _neo_ls_svm.py:116-124).
+            C = np.asarray(self.primal_feature_map_.complexity_matrix, dtype=X.dtype)
+            if np.array_equiv(C, C[0, 0] * np.eye(C.shape[0], dtype=X.dtype)):
+                C_emb = None
+            else:
+                c_norm = np.mean(np.abs(np.diag(C))) * (X.shape[0] * C.shape[0])
+                C_n = C / c_norm
+                C_emb = jnp.asarray(
+                    np.block(
+                        [[C_n, np.zeros_like(C_n)], [np.zeros_like(C_n), C_n]]
+                    )
+                )
             result = primal_fit(
                 jnp.asarray(X),
                 jnp.asarray(M_map.astype(X.dtype)),
@@ -177,16 +192,27 @@ class NeoLSSVM(BaseEstimator):
                 jnp.asarray(y_),
                 jnp.asarray(sample_weight_),
                 jnp.asarray(self.γs_),
+                C_emb,
                 is_classifier=is_classifier,
             )
             self._M_map, self._b_map = M_map.astype(X.dtype), b_map.astype(X.dtype)
-            beta_emb = np.asarray(result["beta_emb"])
+            # Computational state stays on device (one tunnel round-trip per host pull
+            # is ~100 ms); the batched host copy below serves the observability API.
+            self._device_cache = {
+                "beta_emb": result["beta_emb"],
+                "Qs": result["Qs"],
+                "lam": result["lam"],
+                "M_map": jnp.asarray(self._M_map),
+                "b_map": jnp.asarray(self._b_map),
+            }
+            result = jax.device_get(result)
+            beta_emb = result["beta_emb"]
             M = beta_emb.shape[0] // 2
             self.beta_emb_ = beta_emb
             # Reference-compatible complex coefficient view: β̂ = u + i·v.
             self.β̂_ = beta_emb[:M] + 1j * beta_emb[M:]
-            self._eig_Qs = np.asarray(result["Qs"])
-            self._eig_lam = np.asarray(result["lam"])
+            self._eig_Qs = result["Qs"]
+            self._eig_lam = result["lam"]
             self._inv_c0 = float(X.shape[0] * M)
         else:
             nz = sample_weight_ > 0
@@ -205,19 +231,25 @@ class NeoLSSVM(BaseEstimator):
                 jnp.asarray(self.γs_),
                 is_classifier=is_classifier,
             )
-            self.α̂_ = np.asarray(result["alpha"])
-            self._chol = np.asarray(result["chol"])
+            self._device_cache = {
+                "alpha": result["alpha"],
+                "chol": result["chol"],
+                "X_train": jnp.asarray(self.X_),
+            }
+            result = jax.device_get(result)
+            self.α̂_ = result["alpha"]
+            self._chol = result["chol"]
         # Shared LOO statistics (the observability API; ref :146-187,295-311).
         self.γ_ = float(result["gamma"])
-        self.loo_errors_γs_ = np.asarray(result["loo_errors_gammas"])
-        self.loo_residuals_ = np.asarray(result["loo_residuals"])
-        self.loo_ŷ_ = np.asarray(result["loo_yhat"])
+        self.loo_errors_γs_ = result["loo_errors_gammas"]
+        self.loo_residuals_ = result["loo_residuals"]
+        self.loo_ŷ_ = result["loo_yhat"]
         self.loo_error_ = float(result["loo_error"])
         self.loo_score_ = float(result["loo_score"])
-        self.loo_std_ = np.asarray(result["loo_std"])
-        self.residuals_ = np.asarray(result["residuals"])
+        self.loo_std_ = result["loo_std"]
+        self.residuals_ = result["residuals"]
         if self.primal_:
-            self.loo_leverage_ = np.asarray(result["loo_leverage"])
+            self.loo_leverage_ = result["loo_leverage"]
         # Isotonic probability calibration on the LOO predictions (ref :406-412).
         if is_classifier:
             self.predict_proba_calibrator_ = IsotonicCalibrator(
@@ -254,6 +286,29 @@ class NeoLSSVM(BaseEstimator):
         }
         return self
 
+    def _device(self, key: str):
+        """Fetch a computational-state array, uploading from host state on first use
+        (e.g. after unpickling/state-dict restore)."""
+        cache = self.__dict__.setdefault("_device_cache", {})
+        if key not in cache:
+            host = {
+                "beta_emb": lambda: self.beta_emb_,
+                "Qs": lambda: self._eig_Qs,
+                "lam": lambda: self._eig_lam,
+                "M_map": lambda: self._M_map,
+                "b_map": lambda: self._b_map,
+                "alpha": lambda: self.α̂_,
+                "chol": lambda: self._chol,
+                "X_train": lambda: self.X_,
+            }[key]()
+            cache[key] = jnp.asarray(host)
+        return cache[key]
+
+    def __getstate__(self) -> dict[str, Any]:
+        state = dict(self.__dict__)
+        state.pop("_device_cache", None)  # jax.Array handles are not picklable.
+        return state
+
     # ------------------------------------------------------------- core predictors
 
     def decision_function(self, X: Any) -> Any:
@@ -265,16 +320,16 @@ class NeoLSSVM(BaseEstimator):
             yhat = np.asarray(
                 primal_decision_function(
                     jnp.asarray(X.astype(self._M_map.dtype)),
-                    jnp.asarray(self._M_map),
-                    jnp.asarray(self._b_map),
-                    jnp.asarray(self.beta_emb_),
+                    self._device("M_map"),
+                    self._device("b_map"),
+                    self._device("beta_emb"),
                 )
             )
         else:
             X_t = self.dual_feature_map_.transform(X)
             yhat = np.asarray(
                 dual_decision_function(
-                    jnp.asarray(X_t), jnp.asarray(self.X_), jnp.asarray(self.α̂_)
+                    jnp.asarray(X_t), self._device("X_train"), self._device("alpha")
                 )
             )
         return _maybe_pandas_series(yhat, X_df)
@@ -291,10 +346,10 @@ class NeoLSSVM(BaseEstimator):
             var = np.asarray(
                 primal_predict_var(
                     jnp.asarray(X.astype(self._M_map.dtype)),
-                    jnp.asarray(self._M_map),
-                    jnp.asarray(self._b_map),
-                    jnp.asarray(self._eig_Qs),
-                    jnp.asarray(self._eig_lam),
+                    self._device("M_map"),
+                    self._device("b_map"),
+                    self._device("Qs"),
+                    self._device("lam"),
                     jnp.asarray(np.asarray(self.γ_, dtype=self._M_map.dtype)),
                     jnp.asarray(np.asarray(self._inv_c0, dtype=self._M_map.dtype)),
                 )
@@ -302,7 +357,7 @@ class NeoLSSVM(BaseEstimator):
         else:
             X_t = self.dual_feature_map_.transform(X)
             var = np.asarray(
-                dual_predict_var(jnp.asarray(X_t), jnp.asarray(self.X_), jnp.asarray(self._chol))
+                dual_predict_var(jnp.asarray(X_t), self._device("X_train"), self._device("chol"))
             )
         return _maybe_pandas_series(np.sqrt(np.maximum(var, 0.0)), X_df)
 

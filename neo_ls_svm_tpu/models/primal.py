@@ -100,6 +100,7 @@ def primal_fit(
     y: jax.Array,
     sample_weight: jax.Array,
     gammas: jax.Array,
+    C_emb: jax.Array | None = None,
     *,
     is_classifier: bool,
     gamma_chunk: int = 128,
@@ -114,6 +115,12 @@ def primal_fit(
 
     ``num_samples`` overrides the row count used in the c₀ normalisation so callers may
     pad X with zero-weight rows (for sharding alignment) without perturbing the solution.
+
+    ``C_emb`` is the *normalised* complexity matrix in the real embedding (2M×2M). When
+    None (the shipped default: C = c₀·I, ref ``_feature_maps.py:133-135``) the solver
+    takes the scaled-identity fast path; otherwise the generalised eigenproblem
+    A·Q = C·Q·Λ (ref ``_neo_ls_svm.py:123-131``) is reduced to a standard symmetric
+    eigh by Cholesky whitening — all real, TPU-friendly (no LU needed).
     """
     n = X.shape[0] if num_samples is None else num_samples
     dtype = X.dtype
@@ -128,10 +135,23 @@ def primal_fit(
     inv_c0 = jnp.asarray(n * M, dtype)
     with jax.named_scope("gram"):
         B = _embedding_gram(W, s2, precision=precision)
-    with jax.named_scope("eigh"):
-        lam, Q = jnp.linalg.eigh(inv_c0 * B)
-    # Z = [P, -N] = W @ blockdiag(I, -I); fold the sign flip into Q once.
     sign = jnp.concatenate([jnp.ones((M,), dtype), -jnp.ones((M,), dtype)])
+    if C_emb is None:
+        with jax.named_scope("eigh"):
+            lam, Q = jnp.linalg.eigh(inv_c0 * B)
+    else:
+        # Whitened GEVD: A·Q = C·Q·Λ with Q = Lc⁻ᵀ·Q́, eigh(Lc⁻¹·A·Lc⁻ᵀ) = Q́ΛQ́ᵀ.
+        # Q is C-orthonormal, so (γC + A)⁻¹ = Q (γI + Λ)⁻¹ Qᵀ with no extra scaling.
+        with jax.named_scope("gevd_whiten"):
+            Lc = jax.scipy.linalg.cholesky(C_emb, lower=True)
+            half = jax.scipy.linalg.solve_triangular(Lc, B, lower=True)
+            Bw = jax.scipy.linalg.solve_triangular(Lc, half.T, lower=True).T
+            Bw = (Bw + Bw.T) / 2
+        with jax.named_scope("eigh"):
+            lam, Qw = jnp.linalg.eigh(Bw)
+        Q = jax.scipy.linalg.solve_triangular(Lc, Qw, lower=True, trans=1)
+        inv_c0 = jnp.asarray(1.0, dtype)
+    # Z = [P, -N] = W @ blockdiag(I, -I); fold the sign flip into Q once.
     Qs = sign[:, None] * Q  # Qs = J@Q so that Z@Q = W@Qs and Zᵀv = Qsᵀ(Wᵀv).
     Gu = jnp.dot(W, Qs, precision=precision)  # n×2M: rows are zᵢᵀQ.
     b_vec = jnp.dot(W.T, s2 * y, precision=precision)  # Wᵀ S² y
@@ -177,16 +197,18 @@ def primal_fit(
         loo_score = 1.0 - ss_res / ss_tot
 
     # Re-solve (γC + A)β̂ = φᴴS²y at the optimum via Cholesky for accuracy (ref :177-178),
-    # in embedding space: (γ·c₀·I + B) β̂_emb = Zᵀ S² y.
-    B_reg = B + (gamma_opt / inv_c0) * jnp.eye(M2, dtype=dtype)
+    # in embedding space: (γ·C + B) β̂_emb = Zᵀ S² y.
+    if C_emb is None:
+        B_reg = B + (gamma_opt / jnp.asarray(n * M, dtype)) * jnp.eye(M2, dtype=dtype)
+    else:
+        B_reg = B + gamma_opt * C_emb
     with jax.named_scope("cholesky_resolve"):
         L = jax.scipy.linalg.cholesky(B_reg, lower=True)
     rhs = sign * b_vec  # Zᵀ S² y = J Wᵀ S² y
     beta_emb = jax.scipy.linalg.cho_solve((L, True), rhs)
-    # Z @ β̂_emb = Gu @ (Q̃ᵀ β̂_emb) with Q̃ = J@Qs, i.e. contract through sign*β̂_emb.
-    residuals = (
-        jnp.dot(Gu, jnp.dot(Qs.T, sign * beta_emb, precision=precision), precision=precision) - y
-    )
+    # Z @ β̂_emb = W @ (J β̂_emb); contract through W directly (valid for both the
+    # orthonormal and the C-orthonormal eigenbasis).
+    residuals = jnp.dot(W, sign * beta_emb, precision=precision) - y
     residuals = _clip_classifier_residuals(residuals, y, is_classifier)
 
     # Bayesian LOO predictive variance via the eigenbasis (≡ cho_solve against γC + A,

@@ -112,3 +112,50 @@ def test_primal_predict_var_positive_and_consistent() -> None:
     s_norm = s / s.sum()
     loo_var = var_train + (s_norm * var_train) ** 2 / (1 - np.asarray(ours["loo_leverage"]))
     np.testing.assert_allclose(np.asarray(ours["loo_std"]), np.sqrt(loo_var), rtol=1e-6)
+
+
+def test_primal_general_complexity_matrix_matches_reference() -> None:
+    """Non-identity C routes through the whitened GEVD and matches the reference's
+    generalised-eigh + LU path (ref _neo_ls_svm.py:123-131)."""
+    X, y = make_regression_dataset(n=1500, seed=14)
+    s = np.ones_like(y)
+    num_features = 48
+    fmap = OrthogonalRandomFourierFeatures(num_features=num_features).fit(X, y, s)
+    phi = fmap.transform(X)
+    M = num_features + 1
+    gen = np.random.RandomState(15)
+    V = gen.randn(M, M)
+    C = np.eye(M) + 0.3 * (V @ V.T) / M  # well-conditioned SPD, non-diagonal
+
+    ref = RefNeoLSSVM()
+    ref._estimator_type = "regressor"
+    ref_beta, ref_gamma = ref._optimize_β̂_γ(phi, y, s.copy(), C.astype(np.float64))
+
+    M_map, b_map = fmap.linear_map()
+    gammas = gamma_grid(np.float64)
+    c_norm = np.mean(np.abs(np.diag(C))) * phi.size
+    C_n = C / c_norm
+    C_emb = np.block([[C_n, np.zeros_like(C_n)], [np.zeros_like(C_n), C_n]])
+    ours = primal_fit(
+        jnp.asarray(X),
+        jnp.asarray(M_map),
+        jnp.asarray(b_map),
+        jnp.asarray(y),
+        jnp.asarray(s),
+        jnp.asarray(gammas),
+        jnp.asarray(C_emb),
+        is_classifier=False,
+    )
+    assert float(ours["gamma"]) == pytest.approx(ref_gamma, rel=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(ours["loo_residuals"]), ref.loo_residuals_, rtol=1e-5, atol=1e-9
+    )
+    np.testing.assert_allclose(np.asarray(ours["loo_std"]), ref.loo_std_, rtol=1e-5, atol=1e-9)
+    X_new = np.random.RandomState(16).randn(200, X.shape[1])
+    ref_decision = np.real(fmap.transform(X_new) @ ref_beta)
+    ours_decision = np.asarray(
+        primal_decision_function(
+            jnp.asarray(X_new), jnp.asarray(M_map), jnp.asarray(b_map), ours["beta_emb"]
+        )
+    )
+    np.testing.assert_allclose(ours_decision, ref_decision, rtol=1e-6, atol=1e-10)
