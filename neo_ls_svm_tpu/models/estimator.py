@@ -37,6 +37,7 @@ from neo_ls_svm_tpu.models.primal import (
     gamma_grid,
     primal_decision_function,
     primal_fit,
+    primal_fit_streaming,
     primal_predict_var,
 )
 from neo_ls_svm_tpu.ops.affine import AffineSeparator
@@ -56,6 +57,8 @@ from neo_ls_svm_tpu.utils.validation import (
 
 DUAL_THRESHOLD = 1024  # n ≤ 1024 → dual space (ref _neo_ls_svm.py:375).
 CONFORMAL_L2_MIN = 128  # Level-2 bias needs ≥ 128 samples (ref :514).
+STREAMING_BYTES_THRESHOLD = 6 * 1024**3  # In-memory working set above this → stream.
+STREAMING_ROW_CHUNK = 32768
 
 
 def _check_n_features(estimator: "NeoLSSVM", X: npt.NDArray) -> npt.NDArray:
@@ -185,16 +188,48 @@ class NeoLSSVM(BaseEstimator):
                         [[C_n, np.zeros_like(C_n)], [np.zeros_like(C_n), C_n]]
                     )
                 )
-            result = primal_fit(
-                jnp.asarray(X),
-                jnp.asarray(M_map.astype(X.dtype)),
-                jnp.asarray(b_map.astype(X.dtype)),
-                jnp.asarray(y_),
-                jnp.asarray(sample_weight_),
-                jnp.asarray(self.γs_),
-                C_emb,
-                is_classifier=is_classifier,
-            )
+            # Route to the streaming solver when the in-memory working set (three
+            # n×2M f32 arrays) would crowd a single chip's HBM.
+            n_rows, M_cols = X.shape[0], M_map.shape[1] + 1
+            working_set_bytes = 3 * n_rows * 2 * M_cols * np.dtype(X.dtype).itemsize
+            if working_set_bytes > STREAMING_BYTES_THRESHOLD:
+                chunk = STREAMING_ROW_CHUNK
+                pad = (-n_rows) % chunk
+                X_p = np.vstack([X, np.zeros((pad, X.shape[1]), X.dtype)]) if pad else X
+                y_p = np.concatenate([y_, np.zeros(pad, X.dtype)]) if pad else y_
+                s_p = (
+                    np.concatenate([sample_weight_, np.zeros(pad, X.dtype)])
+                    if pad
+                    else sample_weight_
+                )
+                result = primal_fit_streaming(
+                    jnp.asarray(X_p),
+                    jnp.asarray(M_map.astype(X.dtype)),
+                    jnp.asarray(b_map.astype(X.dtype)),
+                    jnp.asarray(y_p),
+                    jnp.asarray(s_p),
+                    jnp.asarray(self.γs_),
+                    C_emb,
+                    is_classifier=is_classifier,
+                    row_chunk=chunk,
+                    num_samples=n_rows,
+                )
+                if pad:
+                    per_row = {"loo_residuals", "loo_yhat", "loo_leverage", "loo_std", "residuals"}
+                    result = {
+                        k: (v[:n_rows] if k in per_row else v) for k, v in result.items()
+                    }
+            else:
+                result = primal_fit(
+                    jnp.asarray(X),
+                    jnp.asarray(M_map.astype(X.dtype)),
+                    jnp.asarray(b_map.astype(X.dtype)),
+                    jnp.asarray(y_),
+                    jnp.asarray(sample_weight_),
+                    jnp.asarray(self.γs_),
+                    C_emb,
+                    is_classifier=is_classifier,
+                )
             self._M_map, self._b_map = M_map.astype(X.dtype), b_map.astype(X.dtype)
             # Computational state stays on device (one tunnel round-trip per host pull
             # is ~100 ms); the batched host copy below serves the observability API.

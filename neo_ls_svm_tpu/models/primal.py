@@ -89,6 +89,35 @@ def _sweep_objective(
     return loo_err, objective
 
 
+def _eigendecompose(
+    B: jax.Array, C_emb: jax.Array | None, inv_c0: jax.Array, sign: jax.Array
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Eigendecompose the embedded Gram against the complexity matrix.
+
+    Returns (λ, Qs, scale) with Qs = J@Q sign-folded so Z@Q = W@Qs, and ``scale`` the
+    factor in (γC + A)⁻¹ = scale · Q diag(1/(γ+λ)) Qᵀ (1 for the GEVD path).
+    """
+    dtype = B.dtype
+    if C_emb is None:
+        with jax.named_scope("eigh"):
+            lam, Q = jnp.linalg.eigh(inv_c0 * B)
+    else:
+        # Whitened GEVD: A·Q = C·Q·Λ with Q = Lc⁻ᵀ·Q́, eigh(Lc⁻¹·A·Lc⁻ᵀ) = Q́ΛQ́ᵀ.
+        # Q is C-orthonormal, so (γC + A)⁻¹ = Q (γI + Λ)⁻¹ Qᵀ with no extra scaling.
+        with jax.named_scope("gevd_whiten"):
+            Lc = jax.scipy.linalg.cholesky(C_emb, lower=True)
+            half = jax.scipy.linalg.solve_triangular(Lc, B, lower=True)
+            Bw = jax.scipy.linalg.solve_triangular(Lc, half.T, lower=True).T
+            Bw = (Bw + Bw.T) / 2
+        with jax.named_scope("eigh"):
+            lam, Qw = jnp.linalg.eigh(Bw)
+        Q = jax.scipy.linalg.solve_triangular(Lc, Qw, lower=True, trans=1)
+        inv_c0 = jnp.asarray(1.0, dtype)
+    # Z = [P, -N] = W @ blockdiag(I, -I); fold the sign flip into Q once.
+    return lam, sign[:, None] * Q, inv_c0
+
+
+
 @partial(
     jax.jit,
     static_argnames=("is_classifier", "gamma_chunk", "precision", "num_samples"),
@@ -136,23 +165,7 @@ def primal_fit(
     with jax.named_scope("gram"):
         B = _embedding_gram(W, s2, precision=precision)
     sign = jnp.concatenate([jnp.ones((M,), dtype), -jnp.ones((M,), dtype)])
-    if C_emb is None:
-        with jax.named_scope("eigh"):
-            lam, Q = jnp.linalg.eigh(inv_c0 * B)
-    else:
-        # Whitened GEVD: A·Q = C·Q·Λ with Q = Lc⁻ᵀ·Q́, eigh(Lc⁻¹·A·Lc⁻ᵀ) = Q́ΛQ́ᵀ.
-        # Q is C-orthonormal, so (γC + A)⁻¹ = Q (γI + Λ)⁻¹ Qᵀ with no extra scaling.
-        with jax.named_scope("gevd_whiten"):
-            Lc = jax.scipy.linalg.cholesky(C_emb, lower=True)
-            half = jax.scipy.linalg.solve_triangular(Lc, B, lower=True)
-            Bw = jax.scipy.linalg.solve_triangular(Lc, half.T, lower=True).T
-            Bw = (Bw + Bw.T) / 2
-        with jax.named_scope("eigh"):
-            lam, Qw = jnp.linalg.eigh(Bw)
-        Q = jax.scipy.linalg.solve_triangular(Lc, Qw, lower=True, trans=1)
-        inv_c0 = jnp.asarray(1.0, dtype)
-    # Z = [P, -N] = W @ blockdiag(I, -I); fold the sign flip into Q once.
-    Qs = sign[:, None] * Q  # Qs = J@Q so that Z@Q = W@Qs and Zᵀv = Qsᵀ(Wᵀv).
+    lam, Qs, inv_c0 = _eigendecompose(B, C_emb, inv_c0, sign)
     Gu = jnp.dot(W, Qs, precision=precision)  # n×2M: rows are zᵢᵀQ.
     b_vec = jnp.dot(W.T, s2 * y, precision=precision)  # Wᵀ S² y
     k = jnp.dot(Qs.T, b_vec, precision=precision)  # QᵀZᵀS²y
@@ -266,3 +279,156 @@ def primal_predict_var(
     Gu = jnp.dot(W, Qs, precision=precision)
     r = (1.0 / (gamma + lam))[:, None]
     return inv_c0 * jnp.dot(Gu * Gu, r, precision=precision)[:, 0]
+
+
+@partial(
+    jax.jit,
+    static_argnames=("is_classifier", "row_chunk", "precision", "num_samples"),
+)
+def primal_fit_streaming(
+    X: jax.Array,
+    M_map: jax.Array,
+    b_map: jax.Array,
+    y: jax.Array,
+    sample_weight: jax.Array,
+    gammas: jax.Array,
+    C_emb: jax.Array | None = None,
+    *,
+    is_classifier: bool,
+    row_chunk: int = 16384,
+    precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
+    num_samples: int | None = None,
+) -> dict[str, jax.Array]:
+    """Streaming variant of :func:`primal_fit`: O(row_chunk·2M) device memory.
+
+    Three scans over row chunks — (1) augmented-Gram accumulation, (2) γ-sweep
+    objective reduction, (3) per-row statistics at the optimum — rebuild the cos/sin
+    feature block per chunk instead of materialising the n×2M feature matrix, its
+    eigenbasis projection, and their squares (~12·n·M bytes). This caps HBM usage for
+    arbitrarily large n; the extra cost is recomputing the feature block three times
+    (one small n×d×D matmul plus VPU cos/sin per pass — cheap next to the 2M-wide
+    contractions). Results are identical to :func:`primal_fit` up to float summation
+    order. Callers pad rows to a multiple of ``row_chunk`` with zero sample weights
+    and pass the true row count via ``num_samples``.
+    """
+    n_pad = X.shape[0]
+    assert n_pad % row_chunk == 0, "pad rows to a multiple of row_chunk"
+    n = n_pad if num_samples is None else num_samples
+    dtype = X.dtype
+    D = M_map.shape[1]
+    M = D + 1
+    M2 = 2 * M
+    s = sample_weight / jnp.sum(sample_weight)
+    s2 = s * s
+    nb = n_pad // row_chunk
+    Xc = X.reshape(nb, row_chunk, -1)
+    yc = y.reshape(nb, row_chunk)
+    sc = s.reshape(nb, row_chunk)
+    s2c = s2.reshape(nb, row_chunk)
+    sign = jnp.concatenate([jnp.ones((M,), dtype), -jnp.ones((M,), dtype)])
+
+    # Pass 1: one augmented Gram accumulates every second-order statistic at once —
+    # Y = [W | y] so YᵀS²Y contains WᵀS²W (the Gram), WᵀS²y (the rhs), and yᵀS²y.
+    def gram_step(acc: jax.Array, chunk) -> tuple[jax.Array, None]:
+        X_b, y_b, s2_b = chunk
+        W_b = _features_real_pair(X_b, M_map, b_map, precision=precision)
+        Y_b = jnp.concatenate([W_b, y_b[:, None]], axis=1)
+        acc = acc + jnp.dot(Y_b.T * s2_b[None, :], Y_b, precision=precision)
+        return acc, None
+
+    with jax.named_scope("gram_stream"):
+        G_aug, _ = jax.lax.scan(
+            gram_step, jnp.zeros((M2 + 1, M2 + 1), dtype), (Xc, yc, s2c)
+        )
+    G = G_aug[:M2, :M2]
+    b_vec = G_aug[:M2, M2]  # Wᵀ S² y
+    PP, PN = G[:M, :M], G[:M, M:]
+    NP, NN = G[M:, :M], G[M:, M:]
+    Ar = PP + NN
+    Ai = PN - NP
+    B = jnp.block([[Ar, -Ai], [Ai, Ar]])
+    B = (B + B.T) / 2
+
+    inv_c0 = jnp.asarray(n * M, dtype)
+    lam, Qs, inv_c0 = _eigendecompose(B, C_emb, inv_c0, sign)
+    k = jnp.dot(Qs.T, b_vec, precision=precision)
+
+    # Pass 2: γ-sweep objective reduction, feature block rebuilt per chunk.
+    r_all = 1.0 / (gammas[None, :] + lam[:, None])  # 2M × G, lives in HBM once.
+
+    def sweep_step(acc, chunk):
+        X_b, y_b, s_b, s2_b = chunk
+        W_b = _features_real_pair(X_b, M_map, b_map, precision=precision)
+        Gu_b = jnp.dot(W_b, Qs, precision=precision)
+        num = inv_c0 * jnp.dot(Gu_b * k[None, :], r_all, precision=precision)
+        lev = inv_c0 * s2_b[:, None] * jnp.dot(Gu_b * Gu_b, r_all, precision=precision)
+        e = (num - y_b[:, None]) / (1.0 - lev)
+        e = _clip_classifier_residuals(e, y_b, is_classifier)
+        loo_err_b, obj_b = _sweep_objective(e, s_b, is_classifier)
+        return (acc[0] + loo_err_b, acc[1] + obj_b), None
+
+    zeros_g = jnp.zeros(gammas.shape[0], dtype)
+    with jax.named_scope("gamma_sweep_stream"):
+        (loo_errors_gs, objective), _ = jax.lax.scan(
+            sweep_step, (zeros_g, zeros_g), (Xc, yc, sc, s2c)
+        )
+    optimum = jnp.argmin(objective)
+    gamma_opt = gammas[optimum]
+
+    # Cholesky re-solve at the optimum (ref :177-178).
+    if C_emb is None:
+        B_reg = B + (gamma_opt / jnp.asarray(n * M, dtype)) * jnp.eye(M2, dtype=dtype)
+    else:
+        B_reg = B + gamma_opt * C_emb
+    with jax.named_scope("cholesky_resolve"):
+        L = jax.scipy.linalg.cholesky(B_reg, lower=True)
+    beta_emb = jax.scipy.linalg.cho_solve((L, True), sign * b_vec)
+
+    # Pass 3: per-row LOO statistics and residuals at the optimum.
+    r_opt = (1.0 / (gamma_opt + lam))[:, None]
+    kr_opt = (k * r_opt[:, 0])[:, None]
+    beta_j = sign * beta_emb
+
+    def stats_step(_, chunk):
+        X_b, y_b, s2_b = chunk
+        W_b = _features_real_pair(X_b, M_map, b_map, precision=precision)
+        Gu_b = jnp.dot(W_b, Qs, precision=precision)
+        num = inv_c0 * jnp.dot(Gu_b, kr_opt, precision=precision)[:, 0]
+        sig2 = inv_c0 * jnp.dot(Gu_b * Gu_b, r_opt, precision=precision)[:, 0]
+        lev = s2_b * sig2
+        e_raw = (num - y_b) / (1.0 - lev)
+        resid = jnp.dot(W_b, beta_j, precision=precision) - y_b
+        return None, (e_raw, lev, sig2, resid)
+
+    with jax.named_scope("final_stats_stream"):
+        _, (e_raw_c, lev_c, sig2_c, resid_c) = jax.lax.scan(
+            stats_step, None, (Xc, yc, s2c)
+        )
+    e_raw = e_raw_c.reshape(-1)
+    lev_opt = lev_c.reshape(-1)
+    sigma2 = sig2_c.reshape(-1)
+    residuals = _clip_classifier_residuals(resid_c.reshape(-1), y, is_classifier)
+    e_clipped = _clip_classifier_residuals(e_raw, y, is_classifier)
+    yhat_loo_raw = y + e_raw
+    if is_classifier:
+        loo_score = s @ (jnp.sign(yhat_loo_raw) == y).astype(dtype)
+    else:
+        y_mean = s @ y
+        loo_score = 1.0 - (s @ (e_raw * e_raw)) / (s @ ((y - y_mean) * (y - y_mean)))
+    loo_sigma2 = sigma2 + (s * sigma2) ** 2 / (1.0 - lev_opt)
+
+    return {
+        "beta_emb": beta_emb,
+        "gamma": gamma_opt,
+        "optimum_index": optimum,
+        "lam": lam,
+        "Qs": Qs,
+        "loo_errors_gammas": loo_errors_gs,
+        "loo_residuals": e_clipped,
+        "loo_yhat": y + e_clipped,
+        "loo_leverage": lev_opt,
+        "loo_error": loo_errors_gs[optimum],
+        "loo_score": loo_score,
+        "loo_std": jnp.sqrt(loo_sigma2),
+        "residuals": residuals,
+    }
