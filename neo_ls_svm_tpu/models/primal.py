@@ -283,7 +283,7 @@ def primal_predict_var(
 
 @partial(
     jax.jit,
-    static_argnames=("is_classifier", "row_chunk", "precision", "num_samples"),
+    static_argnames=("is_classifier", "row_chunk", "precision", "num_samples", "use_pallas_gram"),
 )
 def primal_fit_streaming(
     X: jax.Array,
@@ -298,6 +298,7 @@ def primal_fit_streaming(
     row_chunk: int = 16384,
     precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
     num_samples: int | None = None,
+    use_pallas_gram: bool = False,
 ) -> dict[str, jax.Array]:
     """Streaming variant of :func:`primal_fit`: O(row_chunk·2M) device memory.
 
@@ -329,19 +330,33 @@ def primal_fit_streaming(
 
     # Pass 1: one augmented Gram accumulates every second-order statistic at once —
     # Y = [W | y] so YᵀS²Y contains WᵀS²W (the Gram), WᵀS²y (the rhs), and yᵀS²y.
-    def gram_step(acc: jax.Array, chunk) -> tuple[jax.Array, None]:
-        X_b, y_b, s2_b = chunk
-        W_b = _features_real_pair(X_b, M_map, b_map, precision=precision)
-        Y_b = jnp.concatenate([W_b, y_b[:, None]], axis=1)
-        acc = acc + jnp.dot(Y_b.T * s2_b[None, :], Y_b, precision=precision)
-        return acc, None
-
-    with jax.named_scope("gram_stream"):
-        G_aug, _ = jax.lax.scan(
-            gram_step, jnp.zeros((M2 + 1, M2 + 1), dtype), (Xc, yc, s2c)
+    if use_pallas_gram:
+        # Fused Pallas kernel: feature block never round-trips through HBM.
+        from neo_ls_svm_tpu.ops.pallas.gram import (  # noqa: PLC0415
+            fused_augmented_gram,
+            w_basis_from_augmented,
         )
-    G = G_aug[:M2, :M2]
-    b_vec = G_aug[:M2, M2]  # Wᵀ S² y
+
+        with jax.named_scope("gram_stream_pallas"):
+            G_aug_k = fused_augmented_gram(
+                X, M_map, b_map, s2, y, block_rows=min(row_chunk, 512)
+            )
+            G, b_vec = w_basis_from_augmented(G_aug_k, D)
+    else:
+
+        def gram_step(acc: jax.Array, chunk) -> tuple[jax.Array, None]:
+            X_b, y_b, s2_b = chunk
+            W_b = _features_real_pair(X_b, M_map, b_map, precision=precision)
+            Y_b = jnp.concatenate([W_b, y_b[:, None]], axis=1)
+            acc = acc + jnp.dot(Y_b.T * s2_b[None, :], Y_b, precision=precision)
+            return acc, None
+
+        with jax.named_scope("gram_stream"):
+            G_aug, _ = jax.lax.scan(
+                gram_step, jnp.zeros((M2 + 1, M2 + 1), dtype), (Xc, yc, s2c)
+            )
+        G = G_aug[:M2, :M2]
+        b_vec = G_aug[:M2, M2]  # Wᵀ S² y
     PP, PN = G[:M, :M], G[:M, M:]
     NP, NN = G[M:, :M], G[M:, M:]
     Ar = PP + NN

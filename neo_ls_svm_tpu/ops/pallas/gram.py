@@ -1,0 +1,116 @@
+"""Pallas TPU kernel: fused random-Fourier feature build + augmented Gram.
+
+The primal solver's first pass computes G = Yᵀ·S²·Y for Y = [cos U/√D | sin U/√D | 1 | y]
+with U = X·M + b (see ``models/primal.py``). Under plain XLA the feature block Y round-
+trips through HBM between the phase matmul and the Gram matmul (matmuls don't fuse into
+matmuls). This kernel keeps the whole chain in VMEM per row block:
+
+    HBM reads:  X (n·d) once            — instead of X + Y (n·(2D+2)) twice
+    HBM writes: G ((2D+2)²) once        — instead of Y + G
+
+i.e. ~(2D+2)/d ≈ 30× less HBM traffic for the pass at d=32, D=512, and the MXU consumes
+cos/sin straight out of the VPU. The Gram accumulator lives in VMEM across the whole
+row-block grid (output revisiting with a sequential grid).
+"""
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _gram_kernel(x_ref, m_ref, b_ref, s2_ref, y_ref, out_ref, *, inv_sqrt_d: float):
+    i = pl.program_id(0)
+    acc_dtype = x_ref.dtype
+    u = jnp.dot(x_ref[:], m_ref[:], preferred_element_type=acc_dtype) + b_ref[:]
+    cos_block = jnp.cos(u) * inv_sqrt_d
+    sin_block = jnp.sin(u) * inv_sqrt_d
+    ones = jnp.ones((u.shape[0], 1), u.dtype)
+    y_col = y_ref[:]
+    feature_block = jnp.concatenate([cos_block, sin_block, ones, y_col], axis=1)
+    contribution = jax.lax.dot_general(
+        feature_block,
+        s2_ref[:] * feature_block,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=acc_dtype,
+    )
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[:] = contribution
+
+    @pl.when(i > 0)
+    def _():
+        out_ref[:] = out_ref[:] + contribution
+
+
+@functools.partial(jax.jit, static_argnames=("block_rows", "interpret"))
+def fused_augmented_gram(
+    X: jax.Array,
+    M_map: jax.Array,
+    b_map: jax.Array,
+    s2: jax.Array,
+    y: jax.Array,
+    *,
+    block_rows: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """Compute G = Yᵀ·diag(s²)·Y, Y = [cos(XM+b)/√D | sin(XM+b)/√D | 1 | y], fused.
+
+    Rows must be a multiple of ``block_rows`` (callers pad with zero weights).
+    Returns the (2D+2)×(2D+2) augmented Gram; the embedded Gram blocks, the rhs
+    Wᵀ·S²·y, and yᵀS²y are all sub-blocks of it.
+    """
+    n, d = X.shape
+    D = M_map.shape[1]
+    assert n % block_rows == 0, "pad rows to a multiple of block_rows"
+    K = 2 * D + 2
+    grid = (n // block_rows,)
+    kernel = functools.partial(_gram_kernel, inv_sqrt_d=1.0 / math.sqrt(D))
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_rows, d), lambda i: (i, 0)),
+            pl.BlockSpec((d, D), lambda i: (0, 0)),
+            pl.BlockSpec((1, D), lambda i: (0, 0)),
+            pl.BlockSpec((block_rows, 1), lambda i: (i, 0)),
+            pl.BlockSpec((block_rows, 1), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((K, K), lambda i: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((K, K), X.dtype),
+        interpret=interpret,
+    )(X, M_map, b_map, s2[:, None], y[:, None])
+
+
+def augmented_gram_reference(
+    X: jax.Array, M_map: jax.Array, b_map: jax.Array, s2: jax.Array, y: jax.Array
+) -> jax.Array:
+    """Plain-XLA reference for :func:`fused_augmented_gram` (used in tests)."""
+    D = M_map.shape[1]
+    U = X @ M_map + b_map
+    isD = 1.0 / jnp.sqrt(jnp.asarray(D, X.dtype))
+    Y = jnp.concatenate(
+        [jnp.cos(U) * isD, jnp.sin(U) * isD, jnp.ones((X.shape[0], 1), X.dtype), y[:, None]],
+        axis=1,
+    )
+    return jnp.dot(Y.T * s2[None, :], Y, precision=jax.lax.Precision.HIGHEST)
+
+
+def w_basis_from_augmented(G_aug: jax.Array, D: int) -> tuple[jax.Array, jax.Array]:
+    """Map the kernel's [cos|sin|1|y] augmented Gram into W-basis (Gram, rhs).
+
+    W's column order is [cos/√D, 1, sin/√D, 0] (see ``models/primal.py``); the trailing
+    zero column contributes zero rows/cols.
+    """
+    M = D + 1
+    idx = jnp.concatenate(
+        [jnp.arange(D), jnp.asarray([2 * D]), jnp.arange(D, 2 * D)]
+    )
+    core = G_aug[jnp.ix_(idx, idx)]
+    G_W = jnp.zeros((2 * M, 2 * M), G_aug.dtype).at[: 2 * M - 1, : 2 * M - 1].set(core)
+    b_vec = jnp.zeros((2 * M,), G_aug.dtype).at[: 2 * M - 1].set(G_aug[idx, 2 * D + 1])
+    return G_W, b_vec

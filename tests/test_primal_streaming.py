@@ -84,3 +84,40 @@ def test_streaming_with_padding_matches_unpadded() -> None:
         rtol=1e-6,
         atol=1e-10,
     )
+
+
+def test_pallas_gram_path_matches(monkeypatch) -> None:
+    """The fused Pallas Gram (interpret mode on CPU) gives the same fit."""
+    import neo_ls_svm_tpu.ops.pallas.gram as gram_mod
+
+    original = gram_mod.fused_augmented_gram
+
+    def interpreted(*args, **kwargs):
+        kwargs["interpret"] = True
+        return original.__wrapped__(*args, **kwargs)
+
+    monkeypatch.setattr(gram_mod, "fused_augmented_gram", interpreted)
+    X, y = make_regression_dataset(n=1024, seed=64)
+    s = np.ones_like(y)
+    fmap = OrthogonalRandomFourierFeatures(num_features=32).fit(X, y, s)
+    M_map, b_map = fmap.linear_map()
+    gammas = gamma_grid(np.float64)
+    args = (
+        jnp.asarray(X),
+        jnp.asarray(M_map),
+        jnp.asarray(b_map),
+        jnp.asarray(y),
+        jnp.asarray(s),
+        jnp.asarray(gammas),
+    )
+    plain = primal_fit_streaming(*args, is_classifier=False, row_chunk=256)
+    fused = primal_fit_streaming(
+        *args, is_classifier=False, row_chunk=256, use_pallas_gram=True
+    )
+    assert float(fused["gamma"]) == pytest.approx(float(plain["gamma"]), rel=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(fused["loo_residuals"]), np.asarray(plain["loo_residuals"]), rtol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(fused["beta_emb"]), np.asarray(plain["beta_emb"]), rtol=1e-7, atol=1e-12
+    )
