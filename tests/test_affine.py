@@ -108,3 +108,19 @@ def test_affine_separator_single_bin() -> None:
     assert getattr(sep, "A_", None) is None
     np.testing.assert_array_equal(sep.shift_, np.zeros((1, 3)))
     np.testing.assert_array_equal(sep.scale_, np.ones((1, 3)))
+
+
+def test_device_normalizer_stats_match_host(monkeypatch) -> None:
+    """The device fast path for normalizer statistics is numerically equivalent."""
+    import neo_ls_svm_tpu.ops.affine as aff
+
+    gen = np.random.RandomState(9)
+    n, d = 5000, 6
+    X = gen.randn(n, d) * np.logspace(-1, 1, d)
+    y = np.sin(X[:, 0]) + 0.3 * gen.randn(n)
+    w = gen.rand(n) + 0.2
+    host = aff.AffineNormalizer().fit(X, y, w)
+    monkeypatch.setattr(aff, "DEVICE_STATS_MIN_ROWS", 1)
+    dev = aff.AffineNormalizer().fit(X, y, w)
+    np.testing.assert_allclose(dev.shift_, host.shift_, rtol=1e-10)
+    np.testing.assert_allclose(dev.scale_, host.scale_, rtol=1e-10)
