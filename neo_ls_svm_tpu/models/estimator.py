@@ -94,12 +94,14 @@ class NeoLSSVM(BaseEstimator):
         dual: bool | Literal["auto"] = "auto",
         estimator_type: Literal["auto", "classifier", "regressor"] = "auto",
         random_state: int | np.random.RandomState | None = 42,
+        precision: Literal["high", "fast"] = "high",
     ) -> None:
         self.primal_feature_map = primal_feature_map
         self.dual_feature_map = dual_feature_map
         self.dual = dual
         self.random_state = random_state
         self.estimator_type = estimator_type
+        self.precision = precision
 
     # ------------------------------------------------------------------ fitting
 
@@ -177,6 +179,9 @@ class NeoLSSVM(BaseEstimator):
             # Surface-complexity regulariser. The shipped complexity matrix is the
             # identity (fast path, C_emb=None); a custom feature map with a nontrivial
             # matrix routes through the whitened-GEVD path (ref _neo_ls_svm.py:116-124).
+            sweep_precision = (
+                jax.lax.Precision.DEFAULT if self.precision == "fast" else None
+            )
             C = np.asarray(self.primal_feature_map_.complexity_matrix, dtype=X.dtype)
             if np.array_equiv(C, C[0, 0] * np.eye(C.shape[0], dtype=X.dtype)):
                 C_emb = None
@@ -213,6 +218,7 @@ class NeoLSSVM(BaseEstimator):
                     is_classifier=is_classifier,
                     row_chunk=chunk,
                     num_samples=n_rows,
+                    sweep_precision=sweep_precision,
                 )
                 if pad:
                     per_row = {"loo_residuals", "loo_yhat", "loo_leverage", "loo_std", "residuals"}

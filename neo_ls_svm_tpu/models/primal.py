@@ -120,7 +120,7 @@ def _eigendecompose(
 
 @partial(
     jax.jit,
-    static_argnames=("is_classifier", "gamma_chunk", "precision", "num_samples"),
+    static_argnames=("is_classifier", "gamma_chunk", "precision", "sweep_precision", "num_samples"),
 )
 def primal_fit(
     X: jax.Array,
@@ -134,6 +134,7 @@ def primal_fit(
     is_classifier: bool,
     gamma_chunk: int = 128,
     precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
+    sweep_precision: jax.lax.Precision | None = None,
     num_samples: int | None = None,
 ) -> dict[str, jax.Array]:
     """Fit the primal LS-SVM and tune γ by closed-form leave-one-out error.
@@ -145,6 +146,10 @@ def primal_fit(
     ``num_samples`` overrides the row count used in the c₀ normalisation so callers may
     pad X with zero-weight rows (for sharding alignment) without perturbing the solution.
 
+    ``sweep_precision`` controls only the γ-sweep contractions (selection of the argmin
+    over a smooth objective tolerates bf16 MXU passes); the Gram/eigh stay at
+    ``precision``. Defaults to ``precision``.
+
     ``C_emb`` is the *normalised* complexity matrix in the real embedding (2M×2M). When
     None (the shipped default: C = c₀·I, ref ``_feature_maps.py:133-135``) the solver
     takes the scaled-identity fast path; otherwise the generalised eigenproblem
@@ -153,6 +158,8 @@ def primal_fit(
     """
     n = X.shape[0] if num_samples is None else num_samples
     dtype = X.dtype
+    if sweep_precision is None:
+        sweep_precision = precision
     s = sample_weight / jnp.sum(sample_weight)
     s2 = s * s
     with jax.named_scope("featmap"):
@@ -172,15 +179,17 @@ def primal_fit(
     Gu2 = Gu * Gu
     s2_col = s2[:, None]
 
-    def loo_terms(r: jax.Array) -> tuple[jax.Array, jax.Array]:
+    def loo_terms(
+        r: jax.Array, dot_precision: jax.lax.Precision = precision
+    ) -> tuple[jax.Array, jax.Array]:
         """φβ̂(γ)-columns and leverage-columns for resolvent columns r = 1/(γ+λ)."""
-        num = inv_c0 * jnp.dot(Gu, k[:, None] * r, precision=precision)
-        lev = inv_c0 * s2_col * jnp.dot(Gu2, r, precision=precision)
+        num = inv_c0 * jnp.dot(Gu, k[:, None] * r, precision=dot_precision)
+        lev = inv_c0 * s2_col * jnp.dot(Gu2, r, precision=dot_precision)
         return num, lev
 
     def sweep_chunk(g_chunk: jax.Array) -> tuple[jax.Array, jax.Array]:
         r = 1.0 / (g_chunk[None, :] + lam[:, None])  # 2M × chunk
-        phi_beta, lev = loo_terms(r)
+        phi_beta, lev = loo_terms(r, sweep_precision)
         e = (phi_beta - y[:, None]) / (1.0 - lev)
         e = _clip_classifier_residuals(e, y, is_classifier)
         return _sweep_objective(e, s, is_classifier)
@@ -283,7 +292,7 @@ def primal_predict_var(
 
 @partial(
     jax.jit,
-    static_argnames=("is_classifier", "row_chunk", "precision", "num_samples", "use_pallas_gram"),
+    static_argnames=("is_classifier", "row_chunk", "precision", "sweep_precision", "num_samples", "use_pallas_gram"),
 )
 def primal_fit_streaming(
     X: jax.Array,
@@ -297,6 +306,7 @@ def primal_fit_streaming(
     is_classifier: bool,
     row_chunk: int = 16384,
     precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
+    sweep_precision: jax.lax.Precision | None = None,
     num_samples: int | None = None,
     use_pallas_gram: bool = False,
 ) -> dict[str, jax.Array]:
@@ -314,6 +324,8 @@ def primal_fit_streaming(
     """
     n_pad = X.shape[0]
     assert n_pad % row_chunk == 0, "pad rows to a multiple of row_chunk"
+    if sweep_precision is None:
+        sweep_precision = precision
     n = n_pad if num_samples is None else num_samples
     dtype = X.dtype
     D = M_map.shape[1]
@@ -374,9 +386,9 @@ def primal_fit_streaming(
     def sweep_step(acc, chunk):
         X_b, y_b, s_b, s2_b = chunk
         W_b = _features_real_pair(X_b, M_map, b_map, precision=precision)
-        Gu_b = jnp.dot(W_b, Qs, precision=precision)
-        num = inv_c0 * jnp.dot(Gu_b * k[None, :], r_all, precision=precision)
-        lev = inv_c0 * s2_b[:, None] * jnp.dot(Gu_b * Gu_b, r_all, precision=precision)
+        Gu_b = jnp.dot(W_b, Qs, precision=sweep_precision)
+        num = inv_c0 * jnp.dot(Gu_b * k[None, :], r_all, precision=sweep_precision)
+        lev = inv_c0 * s2_b[:, None] * jnp.dot(Gu_b * Gu_b, r_all, precision=sweep_precision)
         e = (num - y_b[:, None]) / (1.0 - lev)
         e = _clip_classifier_residuals(e, y_b, is_classifier)
         loo_err_b, obj_b = _sweep_objective(e, s_b, is_classifier)
