@@ -292,7 +292,15 @@ def primal_predict_var(
 
 @partial(
     jax.jit,
-    static_argnames=("is_classifier", "row_chunk", "precision", "sweep_precision", "num_samples", "use_pallas_gram"),
+    static_argnames=(
+        "is_classifier",
+        "row_chunk",
+        "precision",
+        "sweep_precision",
+        "num_samples",
+        "use_pallas_gram",
+        "use_pallas_sweep",
+    ),
 )
 def primal_fit_streaming(
     X: jax.Array,
@@ -309,6 +317,7 @@ def primal_fit_streaming(
     sweep_precision: jax.lax.Precision | None = None,
     num_samples: int | None = None,
     use_pallas_gram: bool = False,
+    use_pallas_sweep: bool = False,
 ) -> dict[str, jax.Array]:
     """Streaming variant of :func:`primal_fit`: O(row_chunk·2M) device memory.
 
@@ -383,22 +392,43 @@ def primal_fit_streaming(
     # Pass 2: γ-sweep objective reduction, feature block rebuilt per chunk.
     r_all = 1.0 / (gammas[None, :] + lam[:, None])  # 2M × G, lives in HBM once.
 
-    def sweep_step(acc, chunk):
-        X_b, y_b, s_b, s2_b = chunk
-        W_b = _features_real_pair(X_b, M_map, b_map, precision=precision)
-        Gu_b = jnp.dot(W_b, Qs, precision=sweep_precision)
-        num = inv_c0 * jnp.dot(Gu_b * k[None, :], r_all, precision=sweep_precision)
-        lev = inv_c0 * s2_b[:, None] * jnp.dot(Gu_b * Gu_b, r_all, precision=sweep_precision)
-        e = (num - y_b[:, None]) / (1.0 - lev)
-        e = _clip_classifier_residuals(e, y_b, is_classifier)
-        loo_err_b, obj_b = _sweep_objective(e, s_b, is_classifier)
-        return (acc[0] + loo_err_b, acc[1] + obj_b), None
+    if use_pallas_sweep:
+        from neo_ls_svm_tpu.ops.pallas.sweep import fused_loo_sweep  # noqa: PLC0415
 
-    zeros_g = jnp.zeros(gammas.shape[0], dtype)
-    with jax.named_scope("gamma_sweep_stream"):
-        (loo_errors_gs, objective), _ = jax.lax.scan(
-            sweep_step, (zeros_g, zeros_g), (Xc, yc, sc, s2c)
-        )
+        inv_c0_static = float(n * M) if C_emb is None else 1.0
+        with jax.named_scope("gamma_sweep_pallas"):
+            loo_errors_gs, objective = fused_loo_sweep(
+                X,
+                M_map,
+                b_map,
+                y,
+                s,
+                s2,
+                Qs,
+                r_all,
+                k,
+                block_rows=min(row_chunk, 128),
+                is_classifier=is_classifier,
+                inv_c0_static=inv_c0_static,
+            )
+    else:
+
+        def sweep_step(acc, chunk):
+            X_b, y_b, s_b, s2_b = chunk
+            W_b = _features_real_pair(X_b, M_map, b_map, precision=precision)
+            Gu_b = jnp.dot(W_b, Qs, precision=sweep_precision)
+            num = inv_c0 * jnp.dot(Gu_b * k[None, :], r_all, precision=sweep_precision)
+            lev = inv_c0 * s2_b[:, None] * jnp.dot(Gu_b * Gu_b, r_all, precision=sweep_precision)
+            e = (num - y_b[:, None]) / (1.0 - lev)
+            e = _clip_classifier_residuals(e, y_b, is_classifier)
+            loo_err_b, obj_b = _sweep_objective(e, s_b, is_classifier)
+            return (acc[0] + loo_err_b, acc[1] + obj_b), None
+
+        zeros_g = jnp.zeros(gammas.shape[0], dtype)
+        with jax.named_scope("gamma_sweep_stream"):
+            (loo_errors_gs, objective), _ = jax.lax.scan(
+                sweep_step, (zeros_g, zeros_g), (Xc, yc, sc, s2c)
+            )
     optimum = jnp.argmin(objective)
     gamma_opt = gammas[optimum]
 

@@ -121,3 +121,43 @@ def test_pallas_gram_path_matches(monkeypatch) -> None:
     np.testing.assert_allclose(
         np.asarray(fused["beta_emb"]), np.asarray(plain["beta_emb"]), rtol=1e-7, atol=1e-12
     )
+
+
+def test_pallas_sweep_path_matches(monkeypatch) -> None:
+    """The fused Pallas sweep (interpret mode on CPU) selects the same gamma."""
+    import neo_ls_svm_tpu.ops.pallas.sweep as sweep_mod
+
+    original = sweep_mod.fused_loo_sweep
+
+    def interpreted(*args, **kwargs):
+        kwargs["interpret"] = True
+        return original.__wrapped__(*args, **kwargs)
+
+    monkeypatch.setattr(sweep_mod, "fused_loo_sweep", interpreted)
+    X, y_raw = make_classification_dataset(n=1024, seed=65)
+    y = np.where(y_raw == "pos", 1.0, -1.0)
+    s = np.random.RandomState(66).rand(len(y)) + 0.25
+    fmap = OrthogonalRandomFourierFeatures(num_features=32).fit(X, y, s)
+    M_map, b_map = fmap.linear_map()
+    gammas = gamma_grid(np.float64)
+    args = (
+        jnp.asarray(X),
+        jnp.asarray(M_map),
+        jnp.asarray(b_map),
+        jnp.asarray(y),
+        jnp.asarray(s),
+        jnp.asarray(gammas),
+    )
+    plain = primal_fit_streaming(*args, is_classifier=True, row_chunk=256)
+    fused = primal_fit_streaming(
+        *args, is_classifier=True, row_chunk=256, use_pallas_sweep=True
+    )
+    assert float(fused["gamma"]) == pytest.approx(float(plain["gamma"]), rel=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(fused["loo_errors_gammas"]),
+        np.asarray(plain["loo_errors_gammas"]),
+        rtol=1e-7,
+    )
+    np.testing.assert_allclose(
+        np.asarray(fused["loo_residuals"]), np.asarray(plain["loo_residuals"]), rtol=1e-6, atol=1e-10
+    )
