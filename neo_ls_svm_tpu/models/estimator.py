@@ -254,7 +254,8 @@ class NeoLSSVM(BaseEstimator):
             self.β̂_ = beta_emb[:M] + 1j * beta_emb[M:]
             self._eig_Qs = result["Qs"]
             self._eig_lam = result["lam"]
-            self._inv_c0 = float(X.shape[0] * M)
+            # The GEVD (custom-C) eigenbasis is C-orthonormal: resolvent scale is 1.
+            self._inv_c0 = 1.0 if C_emb is not None else float(X.shape[0] * M)
         else:
             nz = sample_weight_ > 0
             X, y_, sample_weight_ = X[nz], y_[nz], sample_weight_[nz]

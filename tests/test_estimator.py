@@ -181,3 +181,24 @@ def test_explicit_dual_and_primal_override() -> None:
     forced_dual_score = NeoLSSVM(dual=True).fit(X, y).score(X_test, y_test)
     primal_score = forced_primal.score(X_test, y_test)
     assert forced_dual_score > 0.3 and primal_score > 0.3
+
+
+def test_custom_complexity_matrix_predict_std() -> None:
+    """A feature map with a non-identity complexity matrix routes through the GEVD
+    path end-to-end, and predict_std stays consistent with the fitted loo_std_."""
+    from neo_ls_svm_tpu.ops.orff import OrthogonalRandomFourierFeatures
+
+    class SincORFF(OrthogonalRandomFourierFeatures):
+        @property
+        def complexity_matrix(self):
+            return self.complexity_matrix_exact()
+
+    (X, y), (X_test, y_test) = _datasets("regression", 1600)
+    model = NeoLSSVM(primal_feature_map=SincORFF(num_features=48)).fit(X, y)
+    assert model.primal_
+    assert model.score(X_test, y_test) > 0.3
+    # In-sample: loo_std_² must equal σ²(x) + (s·σ²)²/(1-h) with the stored eigenbasis.
+    var_train = np.asarray(model.predict_std(X)) ** 2
+    s = np.full(len(y), 1.0 / len(y))
+    reconstructed = var_train + (s * var_train) ** 2 / (1 - model.loo_leverage_)
+    np.testing.assert_allclose(model.loo_std_**2, reconstructed, rtol=1e-6)
