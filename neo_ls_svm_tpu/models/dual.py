@@ -23,7 +23,7 @@ from neo_ls_svm_tpu.ops.kernels import rbf_kernel, squared_distances
 RBF_GAMMA = 0.5  # Fixed kernel width; the metric is learned upstream (ref :257,261).
 
 
-@partial(jax.jit, static_argnames=("is_classifier", "precision"))
+@partial(jax.jit, static_argnames=("rho", "is_classifier", "precision"))
 def dual_fit(
     X: jax.Array,
     y: jax.Array,

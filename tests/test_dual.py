@@ -77,3 +77,27 @@ def test_dual_decision_and_var_consistency() -> None:
     # In-sample variance must match the stored loo_std².
     var_train = np.asarray(dual_predict_var(jnp.asarray(X_t), jnp.asarray(X_t), ours["chol"]))
     np.testing.assert_allclose(var_train, np.asarray(ours["loo_std"]) ** 2, rtol=1e-6, atol=1e-10)
+
+
+def test_dual_solver_rho_surface_regulariser_matches_reference() -> None:
+    """ρ ≠ 1 activates the surface-complexity term C (ref _neo_ls_svm.py:256-263)."""
+    X, y = make_regression_dataset(n=500, seed=25)
+    s = np.ones_like(y)
+    sep = AffineSeparator().fit(X, y, s)
+    X_t = sep.transform(X)
+    ref = RefNeoLSSVM()
+    ref._estimator_type = "regressor"
+    ref_alpha, ref_gamma = ref._optimize_α̂_γ(X_t.copy(), y, s.copy(), ρ=0.7)
+    ours = dual_fit(
+        jnp.asarray(X_t),
+        jnp.asarray(y),
+        jnp.asarray(s),
+        jnp.asarray(gamma_grid(np.float64, num=128)),
+        rho=0.7,
+        is_classifier=False,
+    )
+    assert float(ours["gamma"]) == pytest.approx(ref_gamma, rel=1e-12)
+    np.testing.assert_allclose(np.asarray(ours["alpha"]), ref_alpha, rtol=1e-6, atol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(ours["loo_residuals"]), ref.loo_residuals_, rtol=1e-5, atol=1e-9
+    )

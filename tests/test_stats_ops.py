@@ -106,3 +106,23 @@ def test_sample_weights_matches_reference(rng) -> None:
     np.testing.assert_allclose(
         sample_weights_quantized_ecdf(x_small), ref_sample_weights_quantized_ecdf(x_small)
     )
+
+
+def test_native_knot_scan_matches_python_fallback() -> None:
+    """The C++ knot-scan kernel is bit-identical to the pure-Python scan."""
+    import neo_ls_svm_tpu.native as native
+    import neo_ls_svm_tpu.ops.quantizer as q
+
+    if native.knot_scan is None:
+        pytest.skip("native kernel unavailable (no C++ compiler)")
+    gen = np.random.RandomState(13)
+    for x in (gen.randn(50000), np.exp(gen.randn(20000)), gen.randint(0, 1000, 30000)):
+        native_hist, native_edges = q.hist_quantized_ecdf(x)
+        saved = q._native_knot_scan
+        try:
+            q._native_knot_scan = None
+            py_hist, py_edges = q.hist_quantized_ecdf(x)
+        finally:
+            q._native_knot_scan = saved
+        np.testing.assert_array_equal(native_hist, py_hist)
+        np.testing.assert_allclose(native_edges, py_edges)
