@@ -202,3 +202,30 @@ def test_custom_complexity_matrix_predict_std() -> None:
     s = np.full(len(y), 1.0 / len(y))
     reconstructed = var_train + (s * var_train) ** 2 / (1 - model.loo_leverage_)
     np.testing.assert_allclose(model.loo_std_**2, reconstructed, rtol=1e-6)
+
+
+def test_dual_route_drops_zero_weight_rows_like_reference() -> None:
+    (X, y), (X_test, y_test) = _datasets("regression", 900)
+    w = np.random.RandomState(7).rand(len(y)) + 0.25
+    w[::7] = 0.0  # Zero-weight rows are dropped on the dual route (ref :388-389).
+    ours = NeoLSSVM().fit(X, y, sample_weight=w)
+    theirs = RefNeoLSSVM().fit(X, y, sample_weight=w.copy())
+    assert ours.dual_ and theirs.dual_
+    assert len(ours.α̂_) == np.sum(w > 0)
+    np.testing.assert_allclose(ours.loo_residuals_, theirs.loo_residuals_, rtol=1e-5, atol=1e-8)
+    np.testing.assert_allclose(
+        ours.decision_function(X_test), theirs.decision_function(X_test), rtol=1e-5, atol=1e-8
+    )
+
+
+def test_coverage_priority_does_not_mutate_cached_biases() -> None:
+    """Unlike the reference (which clamps its cached level-2 biases in place,
+    _neo_ls_svm.py:574-577), a coverage-priority call must not change later
+    accuracy-priority results for the same quantile tuple."""
+    (X, y), (X_test, y_test) = _make_priced_dataset(n=3000)
+    model = NeoLSSVM().fit(X, y)
+    quantiles = (0.1, 0.9)
+    before = model.predict_quantiles(X_test, quantiles=quantiles, priority="accuracy")
+    model.predict_quantiles(X_test, quantiles=quantiles, priority="coverage")
+    after = model.predict_quantiles(X_test, quantiles=quantiles, priority="accuracy")
+    np.testing.assert_array_equal(before, after)
