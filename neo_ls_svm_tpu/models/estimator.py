@@ -59,6 +59,8 @@ DUAL_THRESHOLD = 1024  # n ≤ 1024 → dual space (ref _neo_ls_svm.py:375).
 CONFORMAL_L2_MIN = 128  # Level-2 bias needs ≥ 128 samples (ref :514).
 STREAMING_BYTES_THRESHOLD = 6 * 1024**3  # In-memory working set above this → stream.
 STREAMING_ROW_CHUNK = 32768
+PREDICT_CHUNK_ROWS = 1 << 20  # Chunk predictions beyond this many rows (bounds the
+# transient n×2M feature block on device).
 
 
 def _check_n_features(estimator: "NeoLSSVM", X: npt.NDArray) -> npt.NDArray:
@@ -353,19 +355,32 @@ class NeoLSSVM(BaseEstimator):
 
     # ------------------------------------------------------------- core predictors
 
+    def _in_chunks(self, X: npt.NDArray, fn: Any) -> npt.NDArray:
+        """Apply a per-chunk device function over row chunks of X and concatenate."""
+        if X.shape[0] <= PREDICT_CHUNK_ROWS:
+            return fn(X)
+        parts = [
+            fn(X[start : start + PREDICT_CHUNK_ROWS])
+            for start in range(0, X.shape[0], PREDICT_CHUNK_ROWS)
+        ]
+        return np.concatenate(parts)
+
     def decision_function(self, X: Any) -> Any:
         """Evaluate the prediction function ŷ(x) (ref ``:655-681``)."""
         check_is_fitted(self, ["γ_"])
         X_df = X
         X = _check_n_features(self, check_array(X, dtype=(np.float64, np.float32)))
         if self.primal_:
-            yhat = np.asarray(
-                primal_decision_function(
-                    jnp.asarray(X.astype(self._M_map.dtype)),
-                    self._device("M_map"),
-                    self._device("b_map"),
-                    self._device("beta_emb"),
-                )
+            yhat = self._in_chunks(
+                X.astype(self._M_map.dtype),
+                lambda X_c: np.asarray(
+                    primal_decision_function(
+                        jnp.asarray(X_c),
+                        self._device("M_map"),
+                        self._device("b_map"),
+                        self._device("beta_emb"),
+                    )
+                ),
             )
         else:
             X_t = self.dual_feature_map_.transform(X)
@@ -385,16 +400,19 @@ class NeoLSSVM(BaseEstimator):
         X_df = X
         X = _check_n_features(self, check_array(X, dtype=(np.float64, np.float32)))
         if self.primal_:
-            var = np.asarray(
-                primal_predict_var(
-                    jnp.asarray(X.astype(self._M_map.dtype)),
-                    self._device("M_map"),
-                    self._device("b_map"),
-                    self._device("Qs"),
-                    self._device("lam"),
-                    jnp.asarray(np.asarray(self.γ_, dtype=self._M_map.dtype)),
-                    jnp.asarray(np.asarray(self._inv_c0, dtype=self._M_map.dtype)),
-                )
+            var = self._in_chunks(
+                X.astype(self._M_map.dtype),
+                lambda X_c: np.asarray(
+                    primal_predict_var(
+                        jnp.asarray(X_c),
+                        self._device("M_map"),
+                        self._device("b_map"),
+                        self._device("Qs"),
+                        self._device("lam"),
+                        jnp.asarray(np.asarray(self.γ_, dtype=self._M_map.dtype)),
+                        jnp.asarray(np.asarray(self._inv_c0, dtype=self._M_map.dtype)),
+                    )
+                ),
             )
         else:
             X_t = self.dual_feature_map_.transform(X)

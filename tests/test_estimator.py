@@ -229,3 +229,15 @@ def test_coverage_priority_does_not_mutate_cached_biases() -> None:
     model.predict_quantiles(X_test, quantiles=quantiles, priority="coverage")
     after = model.predict_quantiles(X_test, quantiles=quantiles, priority="accuracy")
     np.testing.assert_array_equal(before, after)
+
+
+def test_chunked_prediction_matches_unchunked(monkeypatch) -> None:
+    import neo_ls_svm_tpu.models.estimator as est_mod
+
+    (X, y), (X_test, y_test) = _datasets("regression", 1600)
+    model = NeoLSSVM().fit(X, y)
+    full = model.decision_function(X_test)
+    std_full = model.predict_std(X_test)
+    monkeypatch.setattr(est_mod, "PREDICT_CHUNK_ROWS", 64)
+    np.testing.assert_array_equal(model.decision_function(X_test), full)
+    np.testing.assert_array_equal(model.predict_std(X_test), std_full)
