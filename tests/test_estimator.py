@@ -239,5 +239,5 @@ def test_chunked_prediction_matches_unchunked(monkeypatch) -> None:
     full = model.decision_function(X_test)
     std_full = model.predict_std(X_test)
     monkeypatch.setattr(est_mod, "PREDICT_CHUNK_ROWS", 64)
-    np.testing.assert_array_equal(model.decision_function(X_test), full)
-    np.testing.assert_array_equal(model.predict_std(X_test), std_full)
+    np.testing.assert_allclose(model.decision_function(X_test), full, rtol=1e-12)
+    np.testing.assert_allclose(model.predict_std(X_test), std_full, rtol=1e-12)
