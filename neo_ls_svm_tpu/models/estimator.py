@@ -63,6 +63,19 @@ PREDICT_CHUNK_ROWS = 1 << 20  # Chunk predictions beyond this many rows (bounds 
 # transient n×2M feature block on device).
 
 
+def _bucket_rows(n: int) -> int:
+    """Round n up to a ~6% shape bucket so repeated fits across datasets reuse XLA
+    compilations (zero-weight padding is exactly invariant for the in-memory primal
+    solver). Compiles cost tens of seconds on a cold TPU; padding costs <= 6% flops."""
+    granularity = max(64, 1 << max(n.bit_length() - 5, 0))
+    return -(-n // granularity) * granularity
+
+
+def _bucket_features(d: int) -> int:
+    """Round the feature count up to a multiple of 8 (zero columns are inert)."""
+    return -(-d // 8) * 8
+
+
 def _check_n_features(estimator: "NeoLSSVM", X: npt.NDArray) -> npt.NDArray:
     if X.shape[1] != estimator.n_features_in_:
         msg = (
@@ -228,16 +241,32 @@ class NeoLSSVM(BaseEstimator):
                         k: (v[:n_rows] if k in per_row else v) for k, v in result.items()
                     }
             else:
+                # Bucket shapes so that nearby dataset sizes share one compilation;
+                # the padding is exactly invariant (zero weights, zero feature columns,
+                # true row count passed as a traced scalar).
+                nb, db = _bucket_rows(n_rows), _bucket_features(X.shape[1])
+                row_pad, col_pad = nb - n_rows, db - X.shape[1]
+                X_p = np.pad(X, ((0, row_pad), (0, col_pad)))
+                y_p = np.pad(y_, (0, row_pad))
+                s_p = np.pad(sample_weight_, (0, row_pad))
+                M_p = np.pad(M_map.astype(X.dtype), ((0, col_pad), (0, 0)))
                 result = primal_fit(
-                    jnp.asarray(X),
-                    jnp.asarray(M_map.astype(X.dtype)),
+                    jnp.asarray(X_p),
+                    jnp.asarray(M_p),
                     jnp.asarray(b_map.astype(X.dtype)),
-                    jnp.asarray(y_),
-                    jnp.asarray(sample_weight_),
+                    jnp.asarray(y_p),
+                    jnp.asarray(s_p),
                     jnp.asarray(self.γs_),
                     C_emb,
                     is_classifier=is_classifier,
+                    sweep_precision=sweep_precision,
+                    num_samples=n_rows,
                 )
+                if row_pad:
+                    per_row = {"loo_residuals", "loo_yhat", "loo_leverage", "loo_std", "residuals"}
+                    result = {
+                        k: (v[:n_rows] if k in per_row else v) for k, v in result.items()
+                    }
             self._M_map, self._b_map = M_map.astype(X.dtype), b_map.astype(X.dtype)
             # Computational state stays on device (one tunnel round-trip per host pull
             # is ~100 ms); the batched host copy below serves the observability API.

@@ -120,7 +120,7 @@ def _eigendecompose(
 
 @partial(
     jax.jit,
-    static_argnames=("is_classifier", "gamma_chunk", "precision", "sweep_precision", "num_samples"),
+    static_argnames=("is_classifier", "gamma_chunk", "precision", "sweep_precision"),
 )
 def primal_fit(
     X: jax.Array,
@@ -135,7 +135,7 @@ def primal_fit(
     gamma_chunk: int = 128,
     precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
     sweep_precision: jax.lax.Precision | None = None,
-    num_samples: int | None = None,
+    num_samples: jax.Array | int | None = None,
 ) -> dict[str, jax.Array]:
     """Fit the primal LS-SVM and tune γ by closed-form leave-one-out error.
 
@@ -168,7 +168,8 @@ def primal_fit(
     M = M2 // 2
     # c₀: the normalised complexity matrix is c₀·I with c₀ = 1/(n·M) (ref :117-118 with
     # the shipped identity complexity matrix; φ.size = n·M).
-    inv_c0 = jnp.asarray(n * M, dtype)
+    inv_c0 = jnp.asarray(n * M, dtype) if not isinstance(n, jax.Array) else (n * M).astype(dtype)
+    inv_c0_id = inv_c0  # Identity-C resolvent scale, kept for the re-solve below.
     with jax.named_scope("gram"):
         B = _embedding_gram(W, s2, precision=precision)
     sign = jnp.concatenate([jnp.ones((M,), dtype), -jnp.ones((M,), dtype)])
@@ -221,7 +222,7 @@ def primal_fit(
     # Re-solve (γC + A)β̂ = φᴴS²y at the optimum via Cholesky for accuracy (ref :177-178),
     # in embedding space: (γ·C + B) β̂_emb = Zᵀ S² y.
     if C_emb is None:
-        B_reg = B + (gamma_opt / jnp.asarray(n * M, dtype)) * jnp.eye(M2, dtype=dtype)
+        B_reg = B + (gamma_opt / inv_c0_id) * jnp.eye(M2, dtype=dtype)
     else:
         B_reg = B + gamma_opt * C_emb
     with jax.named_scope("cholesky_resolve"):
@@ -385,7 +386,8 @@ def primal_fit_streaming(
     B = jnp.block([[Ar, -Ai], [Ai, Ar]])
     B = (B + B.T) / 2
 
-    inv_c0 = jnp.asarray(n * M, dtype)
+    inv_c0 = jnp.asarray(n * M, dtype) if not isinstance(n, jax.Array) else (n * M).astype(dtype)
+    inv_c0_id = inv_c0  # Identity-C resolvent scale, kept for the re-solve below.
     lam, Qs, inv_c0 = _eigendecompose(B, C_emb, inv_c0, sign)
     k = jnp.dot(Qs.T, b_vec, precision=precision)
 
@@ -434,7 +436,7 @@ def primal_fit_streaming(
 
     # Cholesky re-solve at the optimum (ref :177-178).
     if C_emb is None:
-        B_reg = B + (gamma_opt / jnp.asarray(n * M, dtype)) * jnp.eye(M2, dtype=dtype)
+        B_reg = B + (gamma_opt / inv_c0_id) * jnp.eye(M2, dtype=dtype)
     else:
         B_reg = B + gamma_opt * C_emb
     with jax.named_scope("cholesky_resolve"):
