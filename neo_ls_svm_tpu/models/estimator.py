@@ -413,10 +413,13 @@ class NeoLSSVM(BaseEstimator):
             )
         else:
             X_t = self.dual_feature_map_.transform(X)
-            yhat = np.asarray(
-                dual_decision_function(
-                    jnp.asarray(X_t), self._device("X_train"), self._device("alpha")
-                )
+            yhat = self._in_chunks(
+                X_t,
+                lambda X_c: np.asarray(
+                    dual_decision_function(
+                        jnp.asarray(X_c), self._device("X_train"), self._device("alpha")
+                    )
+                ),
             )
         return _maybe_pandas_series(yhat, X_df)
 
@@ -445,8 +448,13 @@ class NeoLSSVM(BaseEstimator):
             )
         else:
             X_t = self.dual_feature_map_.transform(X)
-            var = np.asarray(
-                dual_predict_var(jnp.asarray(X_t), self._device("X_train"), self._device("chol"))
+            var = self._in_chunks(
+                X_t,
+                lambda X_c: np.asarray(
+                    dual_predict_var(
+                        jnp.asarray(X_c), self._device("X_train"), self._device("chol")
+                    )
+                ),
             )
         return _maybe_pandas_series(np.sqrt(np.maximum(var, 0.0)), X_df)
 
