@@ -241,3 +241,20 @@ def test_chunked_prediction_matches_unchunked(monkeypatch) -> None:
     monkeypatch.setattr(est_mod, "PREDICT_CHUNK_ROWS", 64)
     np.testing.assert_allclose(model.decision_function(X_test), full, rtol=1e-12)
     np.testing.assert_allclose(model.predict_std(X_test), std_full, rtol=1e-12)
+
+
+def test_datetime_target_regression() -> None:
+    """Datetime targets are supported like the reference (ref :356-359,751-752)."""
+    gen = np.random.RandomState(81)
+    X = gen.randn(1500, 5)
+    days = (X[:, 0] * 30 + X[:, 1] * 10 + 365 + 3 * gen.randn(1500)).astype("int64")
+    y = np.datetime64("2020-01-01") + days.astype("timedelta64[D]").astype("timedelta64[s]")
+    model = NeoLSSVM().fit(X, y)
+    assert model._estimator_type == "regressor"
+    pred = model.predict(X[:50])
+    assert np.issubdtype(pred.dtype, np.datetime64)
+    # Predictions land within the target's range neighbourhood.
+    spread_days = (pred.max() - pred.min()) / np.timedelta64(1, "D")
+    assert 0 < spread_days < 2000
+    score = model.score(X, y)
+    assert score > 0.5
