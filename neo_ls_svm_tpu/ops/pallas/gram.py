@@ -19,7 +19,7 @@ import math
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
+
 
 
 def _gram_kernel(x_ref, m_ref, b_ref, s2_ref, y_ref, out_ref, *, inv_sqrt_d: float):

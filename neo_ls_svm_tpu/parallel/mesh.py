@@ -18,7 +18,7 @@ import math
 from typing import Any
 
 import jax
-import jax.numpy as jnp
+
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
