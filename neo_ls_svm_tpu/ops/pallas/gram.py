@@ -11,6 +11,12 @@ matmuls). This kernel keeps the whole chain in VMEM per row block:
 i.e. ~(2D+2)/d ≈ 30× less HBM traffic for the pass at d=32, D=512, and the MXU consumes
 cos/sin straight out of the VPU. The Gram accumulator lives in VMEM across the whole
 row-block grid (output revisiting with a sequential grid).
+
+Validated on TPU v5-lite (compiles via the axon backend). Note: Mosaic executes the
+in-kernel dots with bf16 multiplies (f32 accumulation) regardless of the precision
+hint — max abs error ~1e-4 vs the HIGHEST-precision XLA path — so these kernels are
+the *fast/scale* path (opt-in flags in ``primal_fit_streaming``), while the default
+path keeps the XLA 3-pass f32 matmuls.
 """
 
 import functools
@@ -25,7 +31,9 @@ from jax.experimental import pallas as pl
 def _gram_kernel(x_ref, m_ref, b_ref, s2_ref, y_ref, out_ref, *, inv_sqrt_d: float):
     i = pl.program_id(0)
     acc_dtype = x_ref.dtype
-    u = jnp.dot(x_ref[:], m_ref[:], preferred_element_type=acc_dtype) + b_ref[:]
+    u = jnp.dot(
+        x_ref[:], m_ref[:], precision=jax.lax.Precision.HIGHEST, preferred_element_type=acc_dtype
+    ) + b_ref[:]
     cos_block = jnp.cos(u) * inv_sqrt_d
     sin_block = jnp.sin(u) * inv_sqrt_d
     ones = jnp.ones((u.shape[0], 1), u.dtype)
@@ -35,6 +43,7 @@ def _gram_kernel(x_ref, m_ref, b_ref, s2_ref, y_ref, out_ref, *, inv_sqrt_d: flo
         feature_block,
         s2_ref[:] * feature_block,
         dimension_numbers=(((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=acc_dtype,
     )
 
