@@ -222,6 +222,8 @@ class NeoLSSVM(BaseEstimator):
                     if pad
                     else sample_weight_
                 )
+                # "fast" precision additionally routes through the fused Pallas
+                # kernels (bf16 MXU multiplies, f32 accumulation).
                 result = primal_fit_streaming(
                     jnp.asarray(X_p),
                     jnp.asarray(M_map.astype(X.dtype)),
@@ -234,6 +236,8 @@ class NeoLSSVM(BaseEstimator):
                     row_chunk=chunk,
                     num_samples=n_rows,
                     sweep_precision=sweep_precision,
+                    use_pallas_gram=(self.precision == "fast" and C_emb is None),
+                    use_pallas_sweep=(self.precision == "fast"),
                 )
                 if pad:
                     per_row = {"loo_residuals", "loo_yhat", "loo_leverage", "loo_std", "residuals"}
