@@ -94,12 +94,14 @@ def run_ours(X, y) -> tuple[float, object]:
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--smoke", action="store_true", help="small shapes for a quick check")
+    parser.add_argument("--full", action="store_true", help="the 1M-row north-star protocol")
     parser.add_argument("--n", type=int, default=None)
     parser.add_argument("--d", type=int, default=32)
     parser.add_argument("--skip-baseline", action="store_true")
     args = parser.parse_args()
 
-    n = args.n if args.n is not None else (8192 if args.smoke else 262144)
+    default_n = 8192 if args.smoke else (1048576 if args.full else 262144)
+    n = args.n if args.n is not None else default_n
     X, y = make_dataset(n, args.d)
     print(f"[bench] dataset n={n} d={args.d} dtype={X.dtype}", file=sys.stderr)
 
