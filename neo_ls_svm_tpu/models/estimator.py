@@ -110,6 +110,7 @@ class NeoLSSVM(BaseEstimator):
         estimator_type: Literal["auto", "classifier", "regressor"] = "auto",
         random_state: int | np.random.RandomState | None = 42,
         precision: Literal["high", "fast"] = "high",
+        mesh: Any = None,
     ) -> None:
         self.primal_feature_map = primal_feature_map
         self.dual_feature_map = dual_feature_map
@@ -117,6 +118,7 @@ class NeoLSSVM(BaseEstimator):
         self.random_state = random_state
         self.estimator_type = estimator_type
         self.precision = precision
+        self.mesh = mesh
 
     # ------------------------------------------------------------------ fitting
 
@@ -212,7 +214,22 @@ class NeoLSSVM(BaseEstimator):
             # n×2M f32 arrays) would crowd a single chip's HBM.
             n_rows, M_cols = X.shape[0], M_map.shape[1] + 1
             working_set_bytes = 3 * n_rows * 2 * M_cols * np.dtype(X.dtype).itemsize
-            if working_set_bytes > STREAMING_BYTES_THRESHOLD:
+            if self.mesh is not None:
+                # Multi-chip fit: rows sharded over the mesh's "data" axis; the Gram
+                # reduction crosses chips as one GSPMD-inserted psum.
+                from neo_ls_svm_tpu.parallel.mesh import sharded_primal_fit  # noqa: PLC0415
+
+                result = sharded_primal_fit(
+                    self.mesh,
+                    X,
+                    M_map.astype(X.dtype),
+                    b_map.astype(X.dtype),
+                    y_,
+                    sample_weight_,
+                    self.γs_,
+                    is_classifier=is_classifier,
+                )
+            elif working_set_bytes > STREAMING_BYTES_THRESHOLD:
                 chunk = STREAMING_ROW_CHUNK
                 pad = (-n_rows) % chunk
                 X_p = np.vstack([X, np.zeros((pad, X.shape[1]), X.dtype)]) if pad else X

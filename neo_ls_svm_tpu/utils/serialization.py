@@ -58,8 +58,13 @@ def _registry() -> dict[str, type]:
 
 def model_to_state_dict(model: Any) -> dict[str, Any]:
     """Serialise a fitted ``NeoLSSVM`` into a nested dict of arrays/scalars."""
+    def _storable(v: Any) -> bool:
+        return v is None or isinstance(v, (str, bool, int, float, np.generic, np.ndarray, tuple))
+
+    # Ephemeral resources (e.g. a device Mesh) are not part of the persisted state;
+    # restored models default them (re-attach a mesh by setting the param afterwards).
     simple_params = {
-        k: v
+        k: (v if _storable(v) else None)
         for k, v in model.get_params(deep=False).items()
         if not isinstance(v, BaseEstimator)
     }

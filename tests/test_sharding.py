@@ -53,3 +53,18 @@ def test_sharded_primal_fit_matches_single_device(mesh_shape) -> None:
 def test_required_padding() -> None:
     assert required_padding(1500, 8) == 4
     assert required_padding(1600, 8) == 0
+
+
+def test_estimator_mesh_fit_matches_single_device() -> None:
+    """NeoLSSVM(mesh=...) runs the multi-chip primal fit through the public API."""
+    from neo_ls_svm_tpu import NeoLSSVM
+
+    X, y = make_regression_dataset(n=1500, seed=42)
+    single = NeoLSSVM().fit(X, y)
+    mesh = make_mesh(num_data=8, num_feature=1)
+    sharded = NeoLSSVM(mesh=mesh).fit(X, y)
+    assert sharded.γ_ == single.γ_
+    np.testing.assert_allclose(sharded.loo_residuals_, single.loo_residuals_, rtol=1e-7)
+    np.testing.assert_allclose(
+        sharded.predict(X[:100]), single.predict(X[:100]), rtol=1e-7
+    )
