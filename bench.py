@@ -79,6 +79,9 @@ def run_baseline(X, y, fmap, gammas) -> float:
 
 def run_ours(X, y) -> tuple[float, object]:
     from neo_ls_svm_tpu import NeoLSSVM
+    from neo_ls_svm_tpu.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()  # Repeat bench runs skip the cold XLA compile.
 
     # Warm-up on identical shapes: XLA compiles once; production reuses the cache.
     NeoLSSVM().fit(X, y)
