@@ -258,3 +258,27 @@ def test_datetime_target_regression() -> None:
     assert 0 < spread_days < 2000
     score = model.score(X, y)
     assert score > 0.5
+
+
+def test_float32_end_to_end_parity() -> None:
+    """float32 inputs stay float32 (ref keeps the input dtype) and match the reference."""
+    (X, y), (X_test, y_test) = _datasets("regression", 1600)
+    X32, y32 = X.astype(np.float32), y.astype(np.float32)
+    ours = NeoLSSVM().fit(X32, y32)
+    theirs = RefNeoLSSVM().fit(X32.copy(), y32.copy())
+    assert ours.γs_.dtype == np.float32
+    assert ours.γ_ == pytest.approx(theirs.γ_, rel=1e-6)
+    np.testing.assert_allclose(ours.loo_residuals_, theirs.loo_residuals_, rtol=2e-2, atol=2e-3)
+    np.testing.assert_allclose(
+        np.asarray(ours.predict(X_test.astype(np.float32))),
+        np.asarray(theirs.predict(X_test.astype(np.float32))),
+        rtol=1e-3,
+        atol=1e-3,
+    )
+
+
+def test_dual_threshold_boundary() -> None:
+    X, y = make_regression_dataset(n=1025, seed=31)
+    at_threshold = NeoLSSVM().fit(X[:1024], y[:1024])
+    above = NeoLSSVM().fit(X, y)
+    assert at_threshold.dual_ and not above.dual_
