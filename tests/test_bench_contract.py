@@ -1,0 +1,27 @@
+"""The driver contract: bench.py prints exactly one valid JSON metric line."""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_bench_smoke_json_line() -> None:
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
+    result = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py"), "--n", "2048", "--skip-baseline"],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        env=env,
+        cwd=REPO,
+    )
+    assert result.returncode == 0, result.stderr[-2000:]
+    lines = [l for l in result.stdout.strip().splitlines() if l.strip()]
+    assert len(lines) == 1, f"expected exactly one stdout line, got: {lines}"
+    payload = json.loads(lines[0])
+    assert set(payload) == {"metric", "value", "unit", "vs_baseline"}
+    assert payload["unit"] == "s"
+    assert payload["value"] > 0
