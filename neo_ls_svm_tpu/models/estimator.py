@@ -39,6 +39,7 @@ from neo_ls_svm_tpu.models.primal import (
     primal_fit,
     primal_fit_streaming,
     primal_predict_var,
+    trim_per_row,
 )
 from neo_ls_svm_tpu.ops.affine import AffineSeparator
 from neo_ls_svm_tpu.ops.orff import (
@@ -52,6 +53,7 @@ from neo_ls_svm_tpu.utils.validation import (
     check_consistent_length,
     check_is_fitted,
     check_X_y,
+    is_pandas,
     train_test_split,
 )
 
@@ -87,7 +89,7 @@ def _check_n_features(estimator: "NeoLSSVM", X: npt.NDArray) -> npt.NDArray:
 
 
 def _maybe_pandas_series(values: npt.NDArray, X_df: Any) -> Any:
-    if hasattr(X_df, "dtypes") and hasattr(X_df, "index"):
+    if is_pandas(X_df):
         try:
             import pandas as pd
         except ImportError:
@@ -227,7 +229,9 @@ class NeoLSSVM(BaseEstimator):
                     y_,
                     sample_weight_,
                     self.γs_,
+                    None if C_emb is None else np.asarray(C_emb),
                     is_classifier=is_classifier,
+                    sweep_precision=sweep_precision,
                 )
             elif working_set_bytes > STREAMING_BYTES_THRESHOLD:
                 chunk = STREAMING_ROW_CHUNK
@@ -257,10 +261,7 @@ class NeoLSSVM(BaseEstimator):
                     use_pallas_sweep=(self.precision == "fast"),
                 )
                 if pad:
-                    per_row = {"loo_residuals", "loo_yhat", "loo_leverage", "loo_std", "residuals"}
-                    result = {
-                        k: (v[:n_rows] if k in per_row else v) for k, v in result.items()
-                    }
+                    result = trim_per_row(result, n_rows)
             else:
                 # Bucket shapes so that nearby dataset sizes share one compilation;
                 # the padding is exactly invariant (zero weights, zero feature columns,
@@ -284,10 +285,7 @@ class NeoLSSVM(BaseEstimator):
                     num_samples=n_rows,
                 )
                 if row_pad:
-                    per_row = {"loo_residuals", "loo_yhat", "loo_leverage", "loo_std", "residuals"}
-                    result = {
-                        k: (v[:n_rows] if k in per_row else v) for k, v in result.items()
-                    }
+                    result = trim_per_row(result, n_rows)
             self._M_map, self._b_map = M_map.astype(X.dtype), b_map.astype(X.dtype)
             # Computational state stays on device (one tunnel round-trip per host pull
             # is ~100 ms); the batched host copy below serves the observability API.
@@ -566,7 +564,7 @@ class NeoLSSVM(BaseEstimator):
             yhat_quantiles = np.dstack([1 - yhat_quantiles[:, ::-1], yhat_quantiles])
         if self._estimator_type == "regressor" and not np.issubdtype(self.y_dtype_, np.integer):
             yhat_quantiles = yhat_quantiles.astype(self.y_dtype_)
-        if hasattr(X_df, "dtypes") and hasattr(X_df, "index"):
+        if is_pandas(X_df):
             try:
                 import pandas as pd
             except ImportError:
@@ -631,7 +629,7 @@ class NeoLSSVM(BaseEstimator):
             proba = yhat_df
             if not np.issubdtype(self.y_dtype_, np.integer):
                 proba = yhat_df.astype(self.y_dtype_)
-        if hasattr(X_df, "dtypes") and hasattr(X_df, "index"):
+        if is_pandas(X_df):
             try:
                 import pandas as pd
             except ImportError:

@@ -31,6 +31,14 @@ import numpy as np
 
 DEFAULT_GAMMAS = (1e-6, 20.0, 1024)  # log-spaced grid (ref _neo_ls_svm.py:146)
 
+# Result keys with one entry per input row (everything else is grid- or basis-sized).
+PER_ROW_KEYS = frozenset({"loo_residuals", "loo_yhat", "loo_leverage", "loo_std", "residuals"})
+
+
+def trim_per_row(result: dict, num_samples: int) -> dict:
+    """Drop padding rows from the per-row outputs of a (padded) solver result."""
+    return {k: (v[:num_samples] if k in PER_ROW_KEYS else v) for k, v in result.items()}
+
 
 def gamma_grid(dtype: Any, num: int = 1024, lo: float = 1e-6, hi: float = 20.0) -> np.ndarray:
     """The γ grid the LOO sweep evaluates (ref ``_neo_ls_svm.py:146,270``)."""

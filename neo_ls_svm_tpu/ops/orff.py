@@ -65,9 +65,15 @@ class KernelApproximatingFeatureMap(ABC, BaseEstimator, TransformerMixin):
         num_features: int = 512,
         random_state: Any = 42,
     ):
-        self.num_features, self.D = num_features, num_features
+        self.num_features = num_features
         self.affine_feature_map = affine_feature_map or AffineSeparator()
         self.random_state = random_state
+
+    @property
+    def D(self) -> int:
+        """Alias for ``num_features`` (the reference stores both at construction,
+        which lets ``set_params(num_features=...)`` silently desynchronise them)."""
+        return self.num_features
 
     @property
     @abstractmethod

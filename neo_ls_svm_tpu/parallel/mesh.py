@@ -22,7 +22,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from neo_ls_svm_tpu.models.primal import primal_fit
+from neo_ls_svm_tpu.models.primal import primal_fit, trim_per_row
 
 
 def make_mesh(
@@ -55,9 +55,11 @@ def sharded_primal_fit(
     y: np.ndarray,
     sample_weight: np.ndarray,
     gammas: np.ndarray,
+    C_emb: np.ndarray | None = None,
     *,
     is_classifier: bool,
     gamma_chunk: int = 128,
+    sweep_precision: "jax.lax.Precision | None" = None,
 ) -> dict[str, jax.Array]:
     """Run ``primal_fit`` with rows sharded over the mesh's ``data`` axis.
 
@@ -78,6 +80,7 @@ def sharded_primal_fit(
     M_d = jax.device_put(np.asarray(M_map), replicated)
     b_d = jax.device_put(np.asarray(b_map), replicated)
     g_d = jax.device_put(np.asarray(gammas), replicated)
+    C_d = None if C_emb is None else jax.device_put(np.asarray(C_emb), replicated)
     result = primal_fit(
         X_d,
         M_d,
@@ -85,12 +88,13 @@ def sharded_primal_fit(
         y_d,
         s_d,
         g_d,
+        C_d,
         is_classifier=is_classifier,
         gamma_chunk=gamma_chunk,
         num_samples=n,
+        sweep_precision=sweep_precision,
     )
-    per_row = {"loo_residuals", "loo_yhat", "loo_leverage", "loo_std", "residuals"}
-    return {k: (v[:n] if k in per_row else v) for k, v in result.items()}
+    return trim_per_row(result, n)
 
 
 def required_padding(n: int, num_data: int) -> int:

@@ -37,10 +37,9 @@ class DataConversionWarning(_DataConversionWarningBase):
 
 
 def is_pandas(obj: Any) -> bool:
-    """Return True when ``obj`` quacks like a pandas DataFrame or Series."""
-    return hasattr(obj, "dtypes") and hasattr(obj, "index") or (
-        hasattr(obj, "dtype") and hasattr(obj, "index") and hasattr(obj, "to_numpy")
-    )
+    """True when ``obj`` quacks like a pandas DataFrame (the predicate every
+    predict-family method uses to decide pandas-out)."""
+    return hasattr(obj, "dtypes") and hasattr(obj, "index")
 
 
 def check_random_state(seed: Any) -> np.random.RandomState:

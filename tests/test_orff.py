@@ -75,3 +75,14 @@ def test_complexity_sinc_matrix_matches_reference(rng) -> None:
         np.asarray(complexity_sinc_matrix(Z, fast_approx=True)),
         _ztz_prod_sinc_zmz(Z, fast_approx=True),
     )
+
+
+def test_set_params_num_features_is_respected() -> None:
+    """set_params(num_features=...) must change the drawn feature count (sklearn
+    grid-search clones then set_params — the reference desynchronises D here)."""
+    X, y = make_regression_dataset(n=1300, seed=9)
+    fmap = OrthogonalRandomFourierFeatures()
+    fmap.set_params(num_features=128)
+    fmap.fit(X, y)
+    assert fmap.Z_.shape[1] == 128
+    assert fmap.transform(X[:5]).shape == (5, 129)
