@@ -244,7 +244,10 @@ class NeoLSSVM(BaseEstimator):
                     else sample_weight_
                 )
                 # "fast" precision additionally routes through the fused Pallas
-                # kernels (bf16 MXU multiplies, f32 accumulation).
+                # kernels (bf16 MXU multiplies, f32 accumulation) — TPU backends only;
+                # Pallas does not lower on CPU outside interpret mode.
+                on_tpu = jax.devices()[0].platform not in ("cpu", "gpu")
+                use_pallas = self.precision == "fast" and on_tpu
                 result = primal_fit_streaming(
                     jnp.asarray(X_p),
                     jnp.asarray(M_map.astype(X.dtype)),
@@ -257,8 +260,8 @@ class NeoLSSVM(BaseEstimator):
                     row_chunk=chunk,
                     num_samples=n_rows,
                     sweep_precision=sweep_precision,
-                    use_pallas_gram=(self.precision == "fast" and C_emb is None),
-                    use_pallas_sweep=(self.precision == "fast"),
+                    use_pallas_gram=(use_pallas and C_emb is None),
+                    use_pallas_sweep=use_pallas,
                 )
                 if pad:
                     result = trim_per_row(result, n_rows)

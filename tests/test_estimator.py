@@ -286,3 +286,13 @@ def test_dual_threshold_boundary() -> None:
     at_threshold = NeoLSSVM().fit(X[:1024], y[:1024])
     above = NeoLSSVM().fit(X, y)
     assert at_threshold.dual_ and not above.dual_
+
+
+def test_fast_precision_streaming_on_cpu(monkeypatch) -> None:
+    """precision='fast' must not enable Pallas on non-TPU backends (no CPU lowering)."""
+    import neo_ls_svm_tpu.models.estimator as est_mod
+
+    monkeypatch.setattr(est_mod, "STREAMING_BYTES_THRESHOLD", 1)  # force streaming
+    X, y = make_regression_dataset(n=2048, seed=103)
+    model = NeoLSSVM(precision="fast").fit(X.astype(np.float32), y.astype(np.float32))
+    assert model.loo_score_ > 0.5
