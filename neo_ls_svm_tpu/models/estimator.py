@@ -192,6 +192,27 @@ class NeoLSSVM(BaseEstimator):
                 if self.primal_feature_map == "auto"
                 else self.primal_feature_map
             )
+            # Decide the route and *start the X transfer asynchronously now*, so the
+            # ~0.x s host→device copy rides under the host-side feature-map fit below.
+            n_rows = X.shape[0]
+            M_cols = getattr(self.primal_feature_map_, "num_features", 512) + 1
+            working_set_bytes = 3 * n_rows * 2 * M_cols * np.dtype(X.dtype).itemsize
+            route = (
+                "mesh"
+                if self.mesh is not None
+                else ("streaming" if working_set_bytes > STREAMING_BYTES_THRESHOLD else "inmemory")
+            )
+            row_pad = col_pad = 0
+            X_dev = None
+            if route == "streaming":
+                row_pad = (-n_rows) % STREAMING_ROW_CHUNK
+                X_p = np.vstack([X, np.zeros((row_pad, X.shape[1]), X.dtype)]) if row_pad else X
+                X_dev = jax.device_put(X_p)
+            elif route == "inmemory":
+                nb, db = _bucket_rows(n_rows), _bucket_features(X.shape[1])
+                row_pad, col_pad = nb - n_rows, db - X.shape[1]
+                X_p = np.pad(X, ((0, row_pad), (0, col_pad)))
+                X_dev = jax.device_put(X_p)
             self.primal_feature_map_.fit(X, y_, sample_weight_)
             M_map, b_map = self.primal_feature_map_.linear_map()
             self.γs_ = gamma_grid(X.dtype, num=1024)
@@ -212,11 +233,7 @@ class NeoLSSVM(BaseEstimator):
                         [[C_n, np.zeros_like(C_n)], [np.zeros_like(C_n), C_n]]
                     )
                 )
-            # Route to the streaming solver when the in-memory working set (three
-            # n×2M f32 arrays) would crowd a single chip's HBM.
-            n_rows, M_cols = X.shape[0], M_map.shape[1] + 1
-            working_set_bytes = 3 * n_rows * 2 * M_cols * np.dtype(X.dtype).itemsize
-            if self.mesh is not None:
+            if route == "mesh":
                 # Multi-chip fit: rows sharded over the mesh's "data" axis; the Gram
                 # reduction crosses chips as one GSPMD-inserted psum.
                 from neo_ls_svm_tpu.parallel.mesh import sharded_primal_fit  # noqa: PLC0415
@@ -233,14 +250,11 @@ class NeoLSSVM(BaseEstimator):
                     is_classifier=is_classifier,
                     sweep_precision=sweep_precision,
                 )
-            elif working_set_bytes > STREAMING_BYTES_THRESHOLD:
-                chunk = STREAMING_ROW_CHUNK
-                pad = (-n_rows) % chunk
-                X_p = np.vstack([X, np.zeros((pad, X.shape[1]), X.dtype)]) if pad else X
-                y_p = np.concatenate([y_, np.zeros(pad, X.dtype)]) if pad else y_
+            elif route == "streaming":
+                y_p = np.concatenate([y_, np.zeros(row_pad, X.dtype)]) if row_pad else y_
                 s_p = (
-                    np.concatenate([sample_weight_, np.zeros(pad, X.dtype)])
-                    if pad
+                    np.concatenate([sample_weight_, np.zeros(row_pad, X.dtype)])
+                    if row_pad
                     else sample_weight_
                 )
                 # "fast" precision additionally routes through the fused Pallas
@@ -249,7 +263,7 @@ class NeoLSSVM(BaseEstimator):
                 on_tpu = jax.devices()[0].platform not in ("cpu", "gpu")
                 use_pallas = self.precision == "fast" and on_tpu
                 result = primal_fit_streaming(
-                    jnp.asarray(X_p),
+                    X_dev,
                     jnp.asarray(M_map.astype(X.dtype)),
                     jnp.asarray(b_map.astype(X.dtype)),
                     jnp.asarray(y_p),
@@ -257,26 +271,24 @@ class NeoLSSVM(BaseEstimator):
                     jnp.asarray(self.γs_),
                     C_emb,
                     is_classifier=is_classifier,
-                    row_chunk=chunk,
+                    row_chunk=STREAMING_ROW_CHUNK,
                     num_samples=n_rows,
                     sweep_precision=sweep_precision,
                     use_pallas_gram=(use_pallas and C_emb is None),
                     use_pallas_sweep=use_pallas,
                 )
-                if pad:
+                if row_pad:
                     result = trim_per_row(result, n_rows)
             else:
-                # Bucket shapes so that nearby dataset sizes share one compilation;
-                # the padding is exactly invariant (zero weights, zero feature columns,
-                # true row count passed as a traced scalar).
-                nb, db = _bucket_rows(n_rows), _bucket_features(X.shape[1])
-                row_pad, col_pad = nb - n_rows, db - X.shape[1]
-                X_p = np.pad(X, ((0, row_pad), (0, col_pad)))
+                # Bucketed shapes (padding computed before the async upload above) let
+                # nearby dataset sizes share one compilation; zero-weight rows and zero
+                # feature columns are exactly invariant, and the true row count rides
+                # as a traced scalar.
                 y_p = np.pad(y_, (0, row_pad))
                 s_p = np.pad(sample_weight_, (0, row_pad))
                 M_p = np.pad(M_map.astype(X.dtype), ((0, col_pad), (0, 0)))
                 result = primal_fit(
-                    jnp.asarray(X_p),
+                    X_dev,
                     jnp.asarray(M_p),
                     jnp.asarray(b_map.astype(X.dtype)),
                     jnp.asarray(y_p),
