@@ -2,23 +2,28 @@
 
 The reference formulates joint multi-quantile regression with monotone ("coherent")
 predictions as one sparse LP over ~2Q(F+n) variables and ships it to SciPy's HiGHS
-(ref ``_coherent_linear_quantile_regressor.py:23-179``). There is no LP solver in
-JAX/XLA, and shipping a 26k-variable sparse LP to a host solver would put a serial CPU
-bottleneck in the calibration path.
+(ref ``_coherent_linear_quantile_regressor.py:23-179``).
 
-TPU-native reformulation: eliminate the LP's auxiliary residual splits Δ⁺/Δ⁻
-analytically — they are just the positive/negative parts of r = Xβ - y — leaving a
-*tiny* problem in the Q·F regression coefficients only (≈ 30-50 unknowns):
+Two solver paths, selected by ``method``:
 
-    min_B  Σⱼ (1/Q) Σᵢ sᵢ · ρ_{qⱼ}(yᵢ - xᵢᵀβⱼ)  +  α‖B‖₁
-    s.t.   Xβⱼ ≤ Xβⱼ₊₁                                      (monotonicity)
+- ``"exact"`` (default for conformal-sized problems): an exact LP solved by HiGHS on
+  the host. The formulation differs from the reference's (a β = β⁺ − β⁻ positive split
+  carries the L1 term instead of auxiliary t = |β| variables; same optimum) but solves
+  the *same* optimization problem, so the fitted coefficients hit the LP optimum the
+  reference hits. The conformal problems are tiny (F ≤ 3, n ≤ 1440), so the host solve
+  is sub-second and happens once per quantile tuple.
+- ``"smooth"`` (default at scale): a TPU-native reformulation. Eliminate the LP's
+  residual splits Δ⁺/Δ⁻ analytically — they are the positive/negative parts of
+  r = Xβ − y — leaving a tiny problem in the Q·F regression coefficients only:
 
-solved by damped Newton on a smoothed pinball loss with an exterior quadratic-hinge
-penalty for the constraints, under an (ε, c)-continuation schedule; everything jits.
-Exact training-set monotonicity is then restored by a cumulative intercept repair, so
-the fitted model satisfies the same guarantee class as the LP solution (the LP also only
-constrains the *training* rows). ``intercept_clip`` semantics are reproduced exactly
-(ref ``:257-272``).
+      min_B  Σⱼ (1/Q) Σᵢ sᵢ · ρ_{qⱼ}(yᵢ - xᵢᵀβⱼ)  +  α‖B‖₁
+      s.t.   Xβⱼ ≤ Xβⱼ₊₁                                      (monotonicity)
+
+  solved by damped Newton on a smoothed pinball loss with an exterior quadratic-hinge
+  penalty for the constraints, under an (ε, c)-continuation schedule; everything jits.
+  Exact training-set monotonicity is then restored by a cumulative intercept repair.
+
+``intercept_clip`` semantics are reproduced exactly (ref ``:257-272``).
 """
 
 from functools import partial
@@ -55,7 +60,11 @@ def _monotonicity_box(Xs: npt.NDArray, margin: float = 1.0, max_corners: int = 1
     An affine function is monotone over a box iff it is monotone at the box's vertices,
     so constraining the quantile planes at these corners guarantees coherent predictions
     for every input inside the inflated box — a *stronger* guarantee than the reference
-    LP, which constrains training rows only and can cross just outside them.
+    LP, which constrains training rows only and can cross just outside them. Above
+    ~log2(max_corners) varying features the full vertex set is intractable and a fixed
+    random sample of sign patterns is used instead, which demotes the box guarantee to a
+    sampled one (training-row monotonicity is still restored exactly by the intercept
+    repair either way).
     """
     lo, hi = Xs.min(axis=0), Xs.max(axis=0)
     span = hi - lo
@@ -72,6 +81,68 @@ def _monotonicity_box(Xs: npt.NDArray, margin: float = 1.0, max_corners: int = 1
     corners = np.repeat(Xs[:1], signs.shape[0], axis=0)
     corners[:, varying] = np.where(signs == 1, hi[varying], lo[varying])
     return corners
+
+
+def _solve_exact_lp(
+    X: npt.NDArray,
+    y: npt.NDArray,
+    quantiles_full: npt.NDArray,
+    s: npt.NDArray,
+    alpha: float,
+) -> npt.NDArray:
+    """Exact coherent-quantile LP, solved by HiGHS on the host.
+
+    Same optimization problem as the reference LP (ref
+    ``_coherent_linear_quantile_regressor.py:91-173``) in a different formulation:
+
+    - variables z = [β⁺, β⁻, Δ⁺, Δ⁻], all ≥ 0 (linprog's default bound), with
+      β = β⁺ − β⁻; the L1 term is α·1ᵀ(β⁺ + β⁻), which equals α‖β‖₁ at any optimum
+      because one of each pair is driven to zero — replacing the reference's auxiliary
+      t = |β| variables and their 2QF inequality rows,
+    - residual split  Xβⱼ − y = Δⱼ⁺ − Δⱼ⁻  with pinball objective
+      Σⱼ (1/Q)·sᵀ[(1−qⱼ)Δⱼ⁺ + qⱼΔⱼ⁻],
+    - monotonicity  Xβⱼ ≤ Xβⱼ₊₁  expressed on the residual splits:
+      (Δⱼ⁺ − Δⱼ⁻) − (Δⱼ₊₁⁺ − Δⱼ₊₁⁻) ≤ 0.
+
+    Returns β_full with one row per feature and one column per (extended) quantile.
+    """
+    from scipy import sparse
+    from scipy.optimize import linprog
+
+    n, F = X.shape
+    Q = len(quantiles_full)
+    dtype = np.float64  # HiGHS works in f64 regardless; build in f64 for conditioning.
+    q = quantiles_full.astype(dtype)
+    Xd = X.astype(dtype)
+    sd = s.astype(dtype)
+
+    c = np.concatenate(
+        [
+            np.full(2 * Q * F, alpha, dtype=dtype),  # β⁺ then β⁻
+            np.kron((1.0 - q) / Q, sd),  # Δ⁺ (over-prediction)
+            np.kron(q / Q, sd),  # Δ⁻ (under-prediction)
+        ]
+    )
+    X_blocks = sparse.kron(sparse.eye(Q, dtype=dtype), sparse.csr_matrix(Xd))
+    I_Qn = sparse.eye(Q * n, dtype=dtype)
+    A_eq = sparse.hstack([X_blocks, -X_blocks, -I_Qn, I_Qn], format="csr")
+    b_eq = np.tile(y.astype(dtype), Q)
+    # Monotonicity on consecutive quantiles via the residual splits.
+    D = sparse.kron(
+        sparse.diags([1.0, -1.0], offsets=[0, 1], shape=(Q - 1, Q), dtype=dtype),
+        sparse.eye(n, dtype=dtype),
+    )
+    Z_beta = sparse.csr_matrix(((Q - 1) * n, 2 * Q * F), dtype=dtype)
+    A_ub = sparse.hstack([Z_beta, D, -D], format="csr")
+    b_ub = np.zeros((Q - 1) * n, dtype=dtype)
+    # Interior point (with HiGHS's default crossover to a vertex) is ~2-3x faster than
+    # dual simplex on this constraint structure and reaches the same optimum.
+    result = linprog(c=c, A_ub=A_ub, b_ub=b_ub, A_eq=A_eq, b_eq=b_eq, method="highs-ipm")
+    if not result.success:  # pragma: no cover - HiGHS does not fail on feasible LPs
+        msg = f"Coherent quantile LP failed: {result.message}"
+        raise RuntimeError(msg)
+    beta = result.x[: Q * F] - result.x[Q * F : 2 * Q * F]
+    return beta.reshape(Q, F).T
 
 
 def _smoothed_objective(
@@ -140,6 +211,12 @@ def _newton_stage(
     return flat_opt.reshape(shape)
 
 
+# Above this many LP residual variables (Q·n), HiGHS latency starts to matter and the
+# jitted smoothed-Newton path takes over. Conformal problems (Q ≤ 17, n ≤ 1440) are
+# far below it.
+_EXACT_LP_MAX_SIZE = 200_000
+
+
 def coherent_linear_quantile_regression(
     X: npt.NDArray,
     y: npt.NDArray,
@@ -147,21 +224,34 @@ def coherent_linear_quantile_regression(
     quantiles: npt.NDArray,
     sample_weight: npt.NDArray | None = None,
     coherence_buffer: int = 3,
+    method: str = "auto",
 ) -> tuple[npt.NDArray, npt.NDArray]:
     """Solve the coherent quantile regression problem.
 
     Returns (β at the requested quantiles, β at all auxiliary quantiles), both with one
     column per quantile and one row per feature — the reference's contract (``:66-72``).
+
+    ``method``: ``"exact"`` (host HiGHS LP, reference-grade optimum), ``"smooth"``
+    (jitted damped-Newton on the smoothed pinball objective), or ``"auto"`` (exact for
+    small problems, smooth at scale).
     """
     num_samples, num_features = X.shape
     quantiles_full = _extend_quantiles(np.asarray(quantiles), coherence_buffer)
     num_quantiles = len(quantiles_full)
     assert np.array_equal(quantiles_full, np.sort(quantiles_full)), "Quantiles must be sorted."
     assert sample_weight is None or np.all(sample_weight >= 0), "Sample weights must be >= 0."
+    if method not in ("auto", "exact", "smooth"):
+        msg = f"Unknown method {method!r}; expected 'auto', 'exact' or 'smooth'."
+        raise ValueError(msg)
     s = np.ones(num_samples, dtype=y.dtype) if sample_weight is None else np.asarray(sample_weight)
     s = s / np.sum(s)
     eps_mach = np.finfo(y.dtype).eps
     alpha = np.sqrt(eps_mach) / (num_quantiles * num_features)  # L1 weight (ref :90).
+
+    if method == "exact" or (method == "auto" and num_quantiles * num_samples <= _EXACT_LP_MAX_SIZE):
+        beta_full = _solve_exact_lp(X, y, quantiles_full, s, alpha)
+        beta = beta_full[:, 0 :: (coherence_buffer + 1)]
+        return beta.astype(y.dtype), beta_full.astype(y.dtype)
 
     # Standardise for solver conditioning (constant columns — the intercept — keep
     # scale 1); fold the standardisation back into β afterwards.
@@ -243,10 +333,12 @@ class CoherentLinearQuantileRegressor(RegressorMixin, BaseEstimator):
         quantiles: npt.ArrayLike = (0.025, 0.5, 0.975),
         fit_intercept: bool = True,
         coherence_buffer: int = 3,
+        method: str = "auto",
     ) -> None:
         self.quantiles = quantiles
         self.fit_intercept = fit_intercept
         self.coherence_buffer = coherence_buffer
+        self.method = method
 
     def fit(
         self,
@@ -272,6 +364,7 @@ class CoherentLinearQuantileRegressor(RegressorMixin, BaseEstimator):
             quantiles=np.asarray(self.quantiles).astype(y.dtype),
             sample_weight=sample_weight,
             coherence_buffer=self.coherence_buffer,
+            method=self.method,
         )
         return self
 

@@ -7,6 +7,8 @@ protocol producing a nested dict of NumPy arrays and scalars — directly storab
 keeps working as before.
 """
 
+import importlib
+import warnings
 from typing import Any
 
 import numpy as np
@@ -25,11 +27,33 @@ def _component_state(obj: BaseEstimator) -> dict[str, Any]:
         k: (None if isinstance(v, BaseEstimator) else v)
         for k, v in obj.get_params(deep=False).items()
     }
-    return {"class": type(obj).__name__, "params": params, "fitted": fitted}
+    return {
+        "class": type(obj).__name__,
+        # Module/qualname let non-registry subclasses (e.g. a custom feature map)
+        # round-trip, provided their defining module is importable at restore time.
+        "module": type(obj).__module__,
+        "qualname": type(obj).__qualname__,
+        "params": params,
+        "fitted": fitted,
+    }
 
 
 def _restore_component(state: dict[str, Any], registry: dict[str, type]) -> BaseEstimator:
-    cls = registry[state["class"]]
+    cls = registry.get(state["class"])
+    if cls is None:
+        module, qualname = state.get("module"), state.get("qualname")
+        try:
+            target: Any = importlib.import_module(module)
+            for part in qualname.split("."):
+                target = getattr(target, part)
+            cls = target
+        except (ImportError, AttributeError, TypeError) as error:
+            msg = (
+                f"Cannot restore component {state['class']!r}: not in the built-in "
+                f"registry and {module}.{qualname} is not importable. Make the class's "
+                f"defining module importable, or restore via pickle instead."
+            )
+            raise ValueError(msg) from error
     obj = cls(**state["params"])
     for name, value in state["fitted"].items():
         setattr(obj, name, value)

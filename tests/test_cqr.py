@@ -31,22 +31,37 @@ def _pinball(y, pred, quantiles):
     return loss / len(quantiles)
 
 
-@pytest.mark.parametrize("quantiles", [(0.025, 0.5, 0.975), (0.1, 0.9), (0.05, 0.25, 0.5, 0.75, 0.95)])
-def test_cqr_close_to_lp_optimum(quantiles) -> None:
+@pytest.mark.parametrize("quantiles", [(0.025, 0.5, 0.975), (0.1, 0.9)])
+def test_cqr_exact_matches_lp_optimum(quantiles) -> None:
+    # The default (auto → exact-LP) path must hit the reference LP optimum.
     X, y = _make_cqr_problem()
     quantiles = np.asarray(quantiles)
     ours = CoherentLinearQuantileRegressor(quantiles=quantiles).fit(X, y)
     theirs = RefCQR(quantiles=quantiles).fit(X, y)
     pred_ours = ours.predict(X)
     pred_ref = theirs.predict(X)
-    # The smoothed-Newton solution must be within ~1% of the LP optimum in pinball
-    # loss. Note it solves a *more* constrained problem (box monotonicity instead of
-    # train-row monotonicity), so the LP optimum is a lower bound it cannot always hit.
+    loss_ours = _pinball(y, pred_ours, quantiles)
+    loss_ref = _pinball(y, pred_ref, quantiles)
+    assert loss_ours <= loss_ref * 1.001
+    # The two formulations reach the same vertex: predictions agree elementwise.
+    scale = np.std(y)
+    assert np.max(np.abs(pred_ours - pred_ref)) < 1e-6 * scale
+
+
+def test_cqr_smooth_close_to_lp_optimum() -> None:
+    # The jitted Newton (device/scale) path must stay within ~1.5% of the LP optimum.
+    quantiles = np.asarray((0.05, 0.25, 0.5, 0.75, 0.95))
+    X, y = _make_cqr_problem()
+    ours = CoherentLinearQuantileRegressor(quantiles=quantiles, method="smooth").fit(X, y)
+    theirs = RefCQR(quantiles=quantiles).fit(X, y)
+    pred_ours = ours.predict(X)
+    pred_ref = theirs.predict(X)
+    # Note the smooth path solves a *more* constrained problem (box monotonicity
+    # instead of train-row monotonicity), so the LP optimum is a lower bound it
+    # cannot always hit.
     loss_ours = _pinball(y, pred_ours, quantiles)
     loss_ref = _pinball(y, pred_ref, quantiles)
     assert loss_ours <= loss_ref * 1.015
-    # And the predictions themselves are close relative to the target scale (the box
-    # constraint flattens extreme-quantile slopes slightly vs the LP).
     scale = np.std(y)
     assert np.median(np.abs(pred_ours - pred_ref)) < 0.1 * scale
 

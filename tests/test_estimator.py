@@ -106,6 +106,27 @@ def test_quantiles_monotone_and_interval_coverage() -> None:
         assert empirical >= 0.97 * coverage
 
 
+def test_predict_quantiles_matches_reference_end_to_end() -> None:
+    """Numeric parity of the full two-level conformal stack vs the reference.
+
+    The whole pipeline — LOO fit, conformal split, level-1 CQR (exact LP on both
+    sides), intercept-clipped level-2 bias, min-dispersion abs/rel choice — must land
+    on the reference's `predict_quantiles`/`predict_interval` output elementwise
+    (ref _neo_ls_svm.py:554-645). Measured gap is ~5e-12; the gate allows 1e-6×IQR
+    for HiGHS vertex-selection slack on degenerate LPs.
+    """
+    (X, y), (X_test, _) = _make_priced_dataset(n=4000)
+    ours = NeoLSSVM().fit(X, y)
+    theirs = RefNeoLSSVM().fit(X, y)
+    iqr = float(np.percentile(y, 75) - np.percentile(y, 25))
+    q_ours = np.asarray(ours.predict_quantiles(X_test, quantiles=(0.025, 0.5, 0.975)))
+    q_ref = np.asarray(theirs.predict_quantiles(X_test, quantiles=(0.025, 0.5, 0.975)))
+    assert np.max(np.abs(q_ours - q_ref)) <= 1e-6 * iqr
+    i_ours = np.asarray(ours.predict_interval(X_test, coverage=0.8))
+    i_ref = np.asarray(theirs.predict_interval(X_test, coverage=0.8))
+    assert np.max(np.abs(i_ours - i_ref)) <= 1e-6 * iqr
+
+
 def test_classifier_quantiles_are_probability_tensors() -> None:
     (X, y), (X_test, y_test) = _datasets("classification", 1600)
     model = NeoLSSVM().fit(X, y)
