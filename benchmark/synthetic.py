@@ -7,10 +7,19 @@ that exercise the regimes the AutoML-Benchmark datasets cover — heterogeneous 
 scales, heteroskedastic noise, redundant features, class imbalance — without requiring
 network access to OpenML.
 
-Usage: python benchmark/synthetic.py [--quick]
+Scoring mirrors the reference exactly: ROC-AUC via ``predict_proba`` for binary tasks
+(ref ``benchmark/classification.py:110-112``), R² via ``score`` for regression (ref
+``benchmark/regression.py:102``), plus fit wall-clock seconds. Results go to stdout as
+a table and to ``--json`` as machine-readable records (model × task). LightGBM, the
+reference's third baseline, is not installed in this environment and is skipped.
+
+Usage: python benchmark/synthetic.py [--quick] [--skip-reference] [--json PATH]
 """
 
 import argparse
+import json
+import os
+import sys
 import time
 
 import numpy as np
@@ -61,36 +70,67 @@ def make_task(name: str, seed: int = 0):
 TASKS = ["scales", "xor", "imbalanced", "small-dual", "prices", "hetero", "redundant", "small-reg"]
 
 
+def _import_reference():
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+    from reference_shim import import_reference  # noqa: PLC0415
+
+    import_reference()
+    from neo_ls_svm import NeoLSSVM as RefNeoLSSVM  # noqa: PLC0415
+
+    return RefNeoLSSVM
+
+
+def _evaluate(model_name: str, fit_fn, X_tr, y_tr, X_te, y_te, kind: str) -> dict:
+    """Fit + score one model on one task with the reference's metric protocol."""
+    from neo_ls_svm_tpu.utils.metrics import r2_score, roc_auc_score
+
+    t0 = time.perf_counter()
+    model = fit_fn(X_tr, y_tr)
+    fit_s = time.perf_counter() - t0
+    record = {"model": model_name, "fit_seconds": round(fit_s, 3)}
+    if kind == "clf":
+        proba = model.predict_proba(X_te)
+        record["roc_auc"] = round(float(roc_auc_score(y_te, np.asarray(proba)[:, 1])), 4)
+        record["accuracy"] = round(float(np.mean(model.predict(X_te) == y_te)), 4)
+    else:
+        record["r2"] = round(float(r2_score(y_te, np.asarray(model.predict(X_te)))), 4)
+    return record
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true")
+    parser.add_argument("--skip-reference", action="store_true")
+    parser.add_argument("--json", default=None, help="write records to this path")
     args = parser.parse_args()
 
     from sklearn.svm import SVC, SVR
 
     from neo_ls_svm_tpu import NeoLSSVM
 
+    RefNeoLSSVM = None if args.skip_reference else _import_reference()
+
     tasks = TASKS[:4] if args.quick else TASKS
-    header = f"{'task':<12} {'kind':<5} {'n':>6} {'neo score':>10} {'neo fit':>8} {'svm score':>10} {'svm fit':>8}"
-    print(header)
-    print("-" * len(header))
+    records = []
     for name in tasks:
         X, y, kind = make_task(name)
         split = int(0.85 * len(y))
         X_tr, y_tr, X_te, y_te = X[:split], y[:split], X[split:], y[split:]
-        t0 = time.perf_counter()
-        neo = NeoLSSVM().fit(X_tr, y_tr)
-        neo_fit = time.perf_counter() - t0
-        neo_score = neo.score(X_te, y_te)
-        svm = SVC() if kind == "clf" else SVR()
-        t0 = time.perf_counter()
-        svm.fit(X_tr, y_tr)
-        svm_fit = time.perf_counter() - t0
-        svm_score = svm.score(X_te, y_te)
-        print(
-            f"{name:<12} {kind:<5} {len(y):>6} {neo_score:>9.1%} {neo_fit:>7.2f}s "
-            f"{svm_score:>9.1%} {svm_fit:>7.2f}s"
-        )
+        contenders = [("neo-ls-svm-tpu", lambda X_, y_: NeoLSSVM().fit(X_, y_))]
+        if RefNeoLSSVM is not None:
+            contenders.append(("neo-ls-svm (reference)", lambda X_, y_: RefNeoLSSVM().fit(X_, y_)))
+        if kind == "clf":
+            contenders.append(("SVC", lambda X_, y_: SVC(probability=True).fit(X_, y_)))
+        else:
+            contenders.append(("SVR", lambda X_, y_: SVR().fit(X_, y_)))
+        for model_name, fit_fn in contenders:
+            record = {"task": name, "kind": kind, "n": len(y), "d": X.shape[1]}
+            record.update(_evaluate(model_name, fit_fn, X_tr, y_tr, X_te, y_te, kind))
+            records.append(record)
+            print(json.dumps(record))
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(records, f, indent=1)
 
 
 if __name__ == "__main__":

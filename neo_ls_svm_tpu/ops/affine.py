@@ -222,15 +222,23 @@ class AffineNormalizer(AffineFeatureMap):
             np.ones(y.shape) if sample_weight is None else np.ravel(np.asarray(sample_weight))
         ).astype(y.dtype)
         check_consistent_length(y, weights)
-        bins, bin_weights, bin_probs = _bin_by_target(y, weights)
+        bins, bin_weights, bin_probs, codes = _bin_by_target(y, weights)
+        if getattr(self, "_want_bin_cache", False):
+            # Hand the binning to the subclass fit (the separator) so the target is
+            # quantized once per fit, not once per class in the inheritance chain.
+            self._bin_cache = (bins, bin_weights, bin_probs, codes)
         d = X.shape[1]
         if len(bins) <= 1:
             self.shift_ = np.zeros((1, d), dtype=X.dtype)
             self.scale_ = np.ones((1, d), dtype=X.dtype)
             super().fit(X, y, weights)
             return self
-        if X.shape[0] >= DEVICE_STATS_MIN_ROWS:
-            self.shift_, self.scale_ = _normalizer_fit_device(X, bins, weights)
+        device_hint = getattr(self, "_device_X_hint", None)
+        use_device = X.shape[0] >= _device_stats_threshold(hinted=device_hint is not None)
+        if use_device:
+            self.shift_, self.scale_ = _normalizer_fit_device(
+                X, bins, weights, codes, X_device=device_hint
+            )
             super().fit(X, y, weights)
             return self
         centers = [
@@ -267,54 +275,93 @@ class AffineNormalizer(AffineFeatureMap):
 
 def _bin_by_target(
     y: npt.NDArray, weights: npt.NDArray
-) -> tuple[list[npt.NDArray], list[np.floating], list[npt.NDArray]]:
-    """Quantize y into bins; return per-bin masks, total weights, normalised weights."""
+) -> tuple[list[npt.NDArray], list[np.floating], list[npt.NDArray], npt.NDArray]:
+    """Quantize y into bins; return per-bin masks, total weights, normalised weights,
+    and the dense 0-based bin codes."""
     y_quantized = sample_bins_quantized_ecdf(y)
-    masks = [y_quantized == i for i in range(np.min(y_quantized), np.max(y_quantized) + 1)]
+    lo = np.min(y_quantized)
+    masks = [y_quantized == i for i in range(lo, np.max(y_quantized) + 1)]
     totals = [np.sum(weights[m]) for m in masks]
     probs = [weights[np.newaxis, m] / np.sum(weights[m]) for m in masks]
-    return masks, totals, probs
+    return masks, totals, probs, (y_quantized - lo).astype(np.int32)
 
 
-# Above this row count the normalizer computes its per-bin statistics on device.
-# Disabled by default (float("inf")): on this environment's tunneled TPU the per-fit
-# X upload (~0.65 s) plus a recompile for every new (num_bins, max_bin_size) shape
-# costs more than the ~0.4 s of host sorting it saves. Set to e.g. 100_000 on locally
-# attached accelerators, where the same path is a clear win. The device path is
-# numerically equivalent but not bit-identical (summation order), so parity tests and
-# small fits always use the host path.
-DEVICE_STATS_MIN_ROWS = float("inf")
+# Above this row count the normalizer computes its per-bin statistics on device even
+# when it has to upload X itself (the upload then costs less than the host argsorts it
+# replaces). When the estimator has *already* staged X on device for the solver, the
+# hinted threshold applies instead and the device path kicks in much earlier. The
+# device path is numerically equivalent but not bit-identical to the host path
+# (summation order), so parity tests and small fits always take the host path.
+DEVICE_STATS_MIN_ROWS = 1_000_000
+DEVICE_STATS_HINTED_MIN_ROWS = 65_536
+# On the tunneled `axon` platform every transfer pays ~100 ms latency at ~50 MB/s, so a
+# hinted device-stats run *stalls on the in-flight X upload* instead of overlapping the
+# host argsorts with it; the device path only pays off there once the sorts dwarf the
+# stall (measured crossover ≈ 0.5M rows).
+DEVICE_STATS_HINTED_MIN_ROWS_TUNNELED = 524_288
 
 
-@partial(jax.jit, static_argnames=())
+def _device_stats_threshold(hinted: bool) -> float:
+    if not hinted:
+        return DEVICE_STATS_MIN_ROWS
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:  # pragma: no cover - no backend at all
+        return DEVICE_STATS_HINTED_MIN_ROWS
+    if platform == "axon":
+        return DEVICE_STATS_HINTED_MIN_ROWS_TUNNELED
+    return DEVICE_STATS_HINTED_MIN_ROWS
+
+
+def _next_pow2(n: int, floor: int = 512) -> int:
+    return max(floor, 1 << (int(n - 1).bit_length()))
+
+
+@partial(jax.jit, static_argnames=("num_bins", "max_bin_rows"))
 def _normalizer_stats_device(
-    X_pad: jax.Array,  # (B, n_max, d) per-bin rows, arbitrary values where masked out
-    w_pad: jax.Array,  # (B, n_max) per-bin weights, 0 where masked out
-    bin_totals: jax.Array,  # (B,)
+    X_dev: jax.Array,  # (n_pad, d_pad) feature rows (padding rows/cols are zeros)
+    w_dev: jax.Array,  # (n_pad,) sample weights, 0 on padding rows
+    codes_dev: jax.Array,  # (n_pad,) int32 bin codes; padding rows carry code >= num_bins
+    starts: jax.Array,  # (num_bins,) start offset of each bin in the grouped order
+    counts: jax.Array,  # (num_bins,) true bin sizes (0 for padded bins)
+    bin_totals: jax.Array,  # (num_bins,) total bin weights (0 for padded bins)
+    *,
+    num_bins: int,
+    max_bin_rows: int,
 ) -> tuple[jax.Array, jax.Array]:
     """Per-bin weighted medians/MADs and the pairwise shift/scale accumulation.
 
     Device counterpart of the host loop in :meth:`AffineNormalizer.fit` (itself
-    mirroring ref ``_affine_normalizer.py:80-114``): one batched sort instead of B·d
-    host argsorts, and the O(B²) bin-pair accumulation as masked broadcasts.
+    mirroring ref ``_affine_normalizer.py:80-114``): rows are grouped by bin with one
+    argsort of the codes, per-(bin, column) weighted medians run as one batched sort
+    instead of B·d host argsorts, and the O(B²) bin-pair accumulation is a masked
+    broadcast. ``num_bins``/``max_bin_rows`` are bucketed by the caller so nearby
+    datasets share a compilation.
     """
-    eps = jnp.finfo(X_pad.dtype).eps
-    mask = w_pad > 0
+    eps = jnp.finfo(X_dev.dtype).eps
+    order = jnp.argsort(codes_dev, stable=True)  # rows grouped by bin, padding last
+    k = jnp.arange(max_bin_rows)
+    row_valid = k[None, :] < counts[:, None]  # (B, n_max)
+    idx = jnp.clip(starts[:, None] + k[None, :], 0, order.shape[0] - 1)
+    rows = order[idx]  # (B, n_max)
+    X_pad = X_dev[rows]  # (B, n_max, d)
+    w_pad = jnp.where(row_valid, w_dev[rows], 0.0)
+    bin_valid = counts > 0  # (B,)
     # Weighted median per (bin, column): masked values sort to +inf with zero weight,
     # which leaves the averaged lower/upper ECDF convention untouched for q < 1.
-    vals = jnp.where(mask[:, :, None], X_pad, jnp.inf)
+    vals = jnp.where(row_valid[:, :, None], X_pad, jnp.inf)
     med = weighted_quantile_jax(
         jnp.moveaxis(vals, 1, 2),  # (B, d, n_max)
         jnp.moveaxis(jnp.broadcast_to(w_pad[:, :, None], vals.shape), 1, 2),
-        jnp.asarray([0.5], X_pad.dtype),
+        jnp.asarray([0.5], X_dev.dtype),
         axis=2,
     )[:, :, 0]  # (B, d)
-    w_sum = jnp.sum(w_pad, axis=1)  # (B,)
-    abs_dev = jnp.abs(jnp.where(mask[:, :, None], X_pad, 0.0) - med[:, None, :])
-    sigma = jnp.einsum("bn,bnd->bd", w_pad, jnp.where(mask[:, :, None], abs_dev, 0.0)) / w_sum[
-        :, None
-    ]
-    # Pairwise accumulation over bins i < j.
+    med = jnp.where(bin_valid[:, None], med, 0.0)  # scrub empty-bin NaNs before reuse
+    w_sum = jnp.maximum(jnp.sum(w_pad, axis=1), eps)  # (B,)
+    abs_dev = jnp.abs(jnp.where(row_valid[:, :, None], X_pad, 0.0) - med[:, None, :])
+    sigma = jnp.einsum("bn,bnd->bd", w_pad, jnp.where(row_valid[:, :, None], abs_dev, 0.0))
+    sigma = sigma / w_sum[:, None]
+    # Pairwise accumulation over valid bins i < j.
     B = med.shape[0]
     diff = med[None, :, :] - med[:, None, :]  # (i, j, d): μⱼ - μᵢ
     sum_sigma = jnp.maximum(sigma[:, None, :] + sigma[None, :, :], eps)
@@ -322,8 +369,12 @@ def _normalizer_stats_device(
     pair_tot = bin_totals[:, None, None] + bin_totals[None, :, None]
     w_pair = jnp.sqrt(pair_tot * (0.5 + separability))
     alpha = jnp.clip(sigma[:, None, :] / sum_sigma, 1e-6, 1.0 - 1e-6)
-    upper = (jnp.arange(B)[:, None] < jnp.arange(B)[None, :])[:, :, None]
-    w_pair = jnp.where(upper, w_pair, 0.0)
+    pair_valid = (
+        (jnp.arange(B)[:, None] < jnp.arange(B)[None, :])
+        & bin_valid[:, None]
+        & bin_valid[None, :]
+    )[:, :, None]
+    w_pair = jnp.where(pair_valid, w_pair, 0.0)
     shift = jnp.sum(w_pair * (med[:, None, :] + alpha * diff), axis=(0, 1))
     scale = jnp.sum(w_pair * sum_sigma, axis=(0, 1))
     sign = jnp.sum(w_pair * jnp.sign(diff), axis=(0, 1))
@@ -335,25 +386,58 @@ def _normalizer_stats_device(
 
 
 def _normalizer_fit_device(
-    X: npt.NDArray, masks: list[npt.NDArray], weights: npt.NDArray
+    X: npt.NDArray,
+    masks: list[npt.NDArray],
+    weights: npt.NDArray,
+    codes: npt.NDArray,
+    X_device: jax.Array | None = None,
 ) -> tuple[npt.NDArray, npt.NDArray]:
-    """Stage the padded per-bin layout and run the device statistics."""
-    bin_rows = [np.flatnonzero(m) for m in masks]
-    n_max = max(len(r) for r in bin_rows)
-    B = len(bin_rows)
-    pad_idx = np.zeros((B, n_max), dtype=np.int64)
-    w_pad = np.zeros((B, n_max), dtype=X.dtype)
-    for b, rows in enumerate(bin_rows):
-        pad_idx[b, : len(rows)] = rows
-        w_pad[b, : len(rows)] = weights[rows]
+    """Stage the grouped-bin layout and run the device statistics.
+
+    ``X_device`` reuses an already-staged device copy of X (possibly row/column
+    padded with zeros) so no second host→device transfer of the feature matrix is
+    needed; only the O(n) codes/weights ride up. Bin count and max bin size are
+    bucketed to bound recompiles.
+    """
+    n, d = X.shape
+    counts = np.asarray([int(np.sum(m)) for m in masks], dtype=np.int32)
     bin_totals = np.asarray([np.sum(weights[m]) for m in masks], dtype=X.dtype)
-    X_dev = jnp.asarray(X)
-    X_pad = X_dev[jnp.asarray(pad_idx)]
+    B = len(masks)
+    B_pad = -(-B // 4) * 4
+    n_max_pad = min(_next_pow2(int(counts.max())), int(2 ** np.ceil(np.log2(max(n, 2)))))
+    starts = np.zeros(B_pad, dtype=np.int32)
+    starts[:B] = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int32)
+    starts[B:] = n  # past-the-end: clipped in-kernel, rows masked by count 0
+    counts_pad = np.zeros(B_pad, dtype=np.int32)
+    counts_pad[:B] = counts
+    totals_pad = np.zeros(B_pad, dtype=X.dtype)
+    totals_pad[:B] = bin_totals
+    if X_device is None:
+        X_device = jnp.asarray(X)
+    n_dev = X_device.shape[0]
+    codes_p = np.full(n_dev, B_pad, dtype=np.int32)
+    codes_p[:n] = codes
+    w_p = np.zeros(n_dev, dtype=X.dtype)
+    w_p[:n] = weights
+    # One batched transfer: per-array uploads each pay ~100 ms of tunnel latency.
+    w_d, codes_d, starts_d, counts_d, totals_d = jax.device_put(
+        (w_p, codes_p, starts, counts_pad, totals_pad)
+    )
     shift, scale = _normalizer_stats_device(
-        X_pad, jnp.asarray(w_pad), jnp.asarray(bin_totals)
+        X_device,
+        w_d,
+        codes_d,
+        starts_d,
+        counts_d,
+        totals_d,
+        num_bins=B_pad,
+        max_bin_rows=n_max_pad,
     )
     shift_np, scale_np = jax.device_get((shift, scale))
-    return shift_np.reshape(1, -1).astype(X.dtype), scale_np.reshape(1, -1).astype(X.dtype)
+    return (
+        shift_np[:d].reshape(1, -1).astype(X.dtype),
+        scale_np[:d].reshape(1, -1).astype(X.dtype),
+    )
 
 
 class AffineSeparator(AffineNormalizer):
@@ -395,35 +479,46 @@ class AffineSeparator(AffineNormalizer):
         assert y is not None
         X, y = check_X_y(X, y)
         y = np.ravel(np.asarray(y)).astype(X.dtype)
-        # Learn the shift/scale, then work on the normalised features.
-        AffineNormalizer.fit(self, X, y, sample_weight)
-        X = AffineNormalizer.transform(self, X)  # A_ not set yet → shift/scale only.
+        # Learn the shift/scale (reusing its target binning), then work on the
+        # normalised features.
+        self._want_bin_cache = True
+        try:
+            AffineNormalizer.fit(self, X, y, sample_weight)
+        finally:
+            del self._want_bin_cache
+        masks, bin_weights, bin_probs, _codes = self.__dict__.pop("_bin_cache")
         weights = (
             np.ones(y.shape) if sample_weight is None else np.ravel(np.asarray(sample_weight))
         ).astype(y.dtype)
         check_consistent_length(y, weights)
-        masks, bin_weights, bin_probs = _bin_by_target(y, weights)
-        X_bins = [X[m] for m in masks]
-        if len(X_bins) <= 1:
+        if len(masks) <= 1:
             return self
+        # Gather-then-normalize: the separator only ever touches O(B·ess) sampled rows,
+        # so the shift/scale map is applied to those rows instead of materialising the
+        # full normalised n×d matrix on the host (bitwise-identical per element).
+        shift = np.reshape(self.shift_, (1, -1)).astype(X.dtype)
+        scale = np.reshape(self.scale_, (1, -1)).astype(X.dtype)
+
+        def _normalized_rows(rows: npt.NDArray) -> npt.NDArray:
+            return ((X[rows, :] - shift) / scale).astype(X.dtype)
         # With only two bins each bin's complement is the other bin; spend the sample
         # budget accordingly (ref _affine_separator.py:138-139). Unlike the reference we
         # do not mutate the constructor parameter.
         ess = self.edge_sample_size
-        if len(X_bins) == 2:
+        if len(masks) == 2:
             ess = int(ess * 4 / 3)
         generator = check_random_state(self.random_state)
         blocks: list[npt.NDArray] = []
         edges_in: list[npt.NDArray] = []
         edges_out: list[npt.NDArray] = []
-        # Bin-major row-index maps let complement samples be gathered without ever
-        # materialising the stacked complement matrices (O(n·B·d) copying in the
+        # Bin-major row-index maps let bin and complement samples be gathered without
+        # ever materialising the stacked per-bin matrices (O(n·B·d) copying in the
         # reference, ref _affine_separator.py:150; RNG draws are unchanged because the
         # population sizes and weight vectors are identical).
         bin_rows = [np.flatnonzero(m) for m in masks]
-        for i in range(len(X_bins)):
-            idx = generator.choice(len(X_bins[i]), size=ess, p=np.ravel(bin_probs[i]))
-            bin_sample = X_bins[i][idx, :]
+        for i in range(len(bin_rows)):
+            idx = generator.choice(len(bin_rows[i]), size=ess, p=np.ravel(bin_probs[i]))
+            bin_sample = _normalized_rows(bin_rows[i][idx])
             complement_rows = np.concatenate(
                 [rows for j, rows in enumerate(bin_rows) if j != i]
             )
@@ -433,15 +528,15 @@ class AffineSeparator(AffineNormalizer):
                 size=ess * self.edge_search_multiplier,
                 p=np.ravel(complement_w) / np.sum(complement_w),
             )
-            complement_sample = X[complement_rows[idx], :]
+            complement_sample = _normalized_rows(complement_rows[idx])
             # Round 1: complement points nearest to the bin sample = the complement edge.
             complement_edge = nearest_neighbours(bin_sample, complement_sample)
             edges_out.append(complement_edge)
             # Round 2: bin points nearest to the complement edge = the bin's own edge.
             idx = generator.choice(
-                len(X_bins[i]), size=ess * self.edge_search_multiplier, p=np.ravel(bin_probs[i])
+                len(bin_rows[i]), size=ess * self.edge_search_multiplier, p=np.ravel(bin_probs[i])
             )
-            bin_edge = nearest_neighbours(complement_edge, X_bins[i][idx, :])
+            bin_edge = nearest_neighbours(complement_edge, _normalized_rows(bin_rows[i][idx]))
             edges_in.append(bin_edge)
             # Directions that separate the two edges: leading right singular vectors.
             s, V = right_singular_vectors(bin_edge - complement_edge)

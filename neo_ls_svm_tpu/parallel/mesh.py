@@ -15,14 +15,23 @@ inserts the all-reduces. A second ``feature`` mesh axis is available for the n×
 """
 
 import math
+from functools import partial
 from typing import Any
 
 import jax
+import jax.numpy as jnp
 
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from neo_ls_svm_tpu.models.primal import primal_fit, trim_per_row
+from neo_ls_svm_tpu.models.primal import (
+    _clip_classifier_residuals,
+    _eigendecompose,
+    _features_real_pair,
+    _sweep_objective,
+    primal_fit,
+    trim_per_row,
+)
 
 
 def make_mesh(
@@ -100,3 +109,207 @@ def sharded_primal_fit(
 def required_padding(n: int, num_data: int) -> int:
     """Rows of zero-weight padding needed to align ``n`` to the data axis."""
     return (math.ceil(n / num_data) * num_data) - n
+
+
+def _shard_map(fn: Any, mesh: Mesh, in_specs: Any, out_specs: Any) -> Any:
+    """``jax.shard_map`` with replication checking off (the body mixes manual psums
+    with locally-replicated linear algebra, which the vma checker cannot type)."""
+    try:
+        return jax.shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                             check_vma=False)
+    except TypeError:  # older JAX spells the flag check_rep
+        return jax.shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                             check_rep=False)
+
+
+def sharded_primal_fit_streaming(
+    mesh: Mesh,
+    X: np.ndarray,
+    M_map: np.ndarray,
+    b_map: np.ndarray,
+    y: np.ndarray,
+    sample_weight: np.ndarray,
+    gammas: np.ndarray,
+    C_emb: np.ndarray | None = None,
+    *,
+    is_classifier: bool,
+    row_chunk: int = 16384,
+    precision: "jax.lax.Precision" = jax.lax.Precision.HIGHEST,
+    sweep_precision: "jax.lax.Precision | None" = None,
+) -> dict[str, jax.Array]:
+    """Row-sharded *streaming* primal fit: O(row_chunk·2M) memory **per chip**.
+
+    Composes the two scale axes that ``sharded_primal_fit`` and
+    ``primal_fit_streaming`` cover separately: rows are sharded over the mesh's
+    ``data`` axis AND each chip streams its local rows in chunks, so neither the
+    full X block nor the n×2M eigenbasis projection ever materialises per chip.
+    Communication is three collectives total, riding ICI (and DCN across slices,
+    see :func:`make_multihost_mesh`):
+
+    * one ``psum`` of the local scalar weight mass,
+    * one ``psum`` of the (2M+1)² augmented Gram after the local pass-1 scans,
+    * one ``psum`` of the γ-grid objective after the local pass-2 sweeps.
+
+    The 2M×2M eigh, γ selection, and Cholesky re-solve replicate on every chip
+    (D³ is tiny); pass-3 per-row statistics are purely local and return sharded.
+    """
+    if sweep_precision is None:
+        sweep_precision = precision
+    n = X.shape[0]
+    num_data = mesh.shape["data"]
+    # Each chip's local rows must tile into row_chunk-sized scan steps.
+    row_chunk = min(row_chunk, math.ceil(n / num_data))
+    mult = num_data * row_chunk
+    pad = (math.ceil(n / mult) * mult) - n
+    X_p = _pad_rows(np.asarray(X), mult) if pad else np.asarray(X)
+    y_p = _pad_rows(np.asarray(y), mult) if pad else np.asarray(y)
+    s_p = _pad_rows(np.asarray(sample_weight), mult) if pad else np.asarray(sample_weight)
+    dtype = X_p.dtype
+    D = M_map.shape[1]
+    M = D + 1
+    M2 = 2 * M
+    inv_c0_in = float(n * M)
+    # The (replicated, constant) complexity matrix rides as a closure constant — a None
+    # argument would not match shard_map's in_specs pytree.
+    C_d = None if C_emb is None else jnp.asarray(np.asarray(C_emb))
+
+    def body(X_l, M_d, b_d, y_l, w_l, g_d):
+        total_w = jax.lax.psum(jnp.sum(w_l), "data")
+        s_l = w_l / total_w
+        s2_l = s_l * s_l
+        nb = X_l.shape[0] // row_chunk
+        Xc = X_l.reshape(nb, row_chunk, -1)
+        yc = y_l.reshape(nb, row_chunk)
+        sc = s_l.reshape(nb, row_chunk)
+        s2c = s2_l.reshape(nb, row_chunk)
+        sign = jnp.concatenate([jnp.ones((M,), dtype), -jnp.ones((M,), dtype)])
+
+        # Pass 1: local augmented-Gram scan, then ONE cross-chip psum.
+        def gram_step(acc, chunk):
+            X_b, y_b, s2_b = chunk
+            W_b = _features_real_pair(X_b, M_d, b_d, precision=precision)
+            Y_b = jnp.concatenate([W_b, y_b[:, None]], axis=1)
+            return acc + jnp.dot(Y_b.T * s2_b[None, :], Y_b, precision=precision), None
+
+        G_aug_local, _ = jax.lax.scan(
+            gram_step, jnp.zeros((M2 + 1, M2 + 1), dtype), (Xc, yc, s2c)
+        )
+        G_aug = jax.lax.psum(G_aug_local, "data")
+        G = G_aug[:M2, :M2]
+        b_vec = G_aug[:M2, M2]
+        PP, PN = G[:M, :M], G[:M, M:]
+        NP, NN = G[M:, :M], G[M:, M:]
+        B = jnp.block([[PP + NN, -(PN - NP)], [PN - NP, PP + NN]])
+        B = (B + B.T) / 2
+        lam, Qs, inv_c0 = _eigendecompose(
+            B, C_d, jnp.asarray(inv_c0_in, dtype), sign
+        )
+        k = jnp.dot(Qs.T, b_vec, precision=precision)
+        r_all = 1.0 / (g_d[None, :] + lam[:, None])
+
+        # Pass 2: local γ-sweep partials, then ONE psum of the grid objective.
+        def sweep_step(acc, chunk):
+            X_b, y_b, s_b, s2_b = chunk
+            W_b = _features_real_pair(X_b, M_d, b_d, precision=precision)
+            Gu_b = jnp.dot(W_b, Qs, precision=sweep_precision)
+            num = inv_c0 * jnp.dot(Gu_b * k[None, :], r_all, precision=sweep_precision)
+            lev = inv_c0 * s2_b[:, None] * jnp.dot(Gu_b * Gu_b, r_all, precision=sweep_precision)
+            e = (num - y_b[:, None]) / (1.0 - lev)
+            e = _clip_classifier_residuals(e, y_b, is_classifier)
+            loo_err_b, obj_b = _sweep_objective(e, s_b, is_classifier)
+            return (acc[0] + loo_err_b, acc[1] + obj_b), None
+
+        zeros_g = jnp.zeros(g_d.shape[0], dtype)
+        (loo_err_local, obj_local), _ = jax.lax.scan(
+            sweep_step, (zeros_g, zeros_g), (Xc, yc, sc, s2c)
+        )
+        loo_errors_gs = jax.lax.psum(loo_err_local, "data")
+        objective = jax.lax.psum(obj_local, "data")
+        optimum = jnp.argmin(objective)
+        gamma_opt = g_d[optimum]
+
+        # Replicated Cholesky re-solve at the optimum.
+        if C_d is None:
+            B_reg = B + (gamma_opt / inv_c0_in) * jnp.eye(M2, dtype=dtype)
+        else:
+            B_reg = B + gamma_opt * C_d
+        L = jax.scipy.linalg.cholesky(B_reg, lower=True)
+        beta_emb = jax.scipy.linalg.cho_solve((L, True), sign * b_vec)
+
+        # Pass 3: local per-row statistics at the optimum.
+        r_opt = (1.0 / (gamma_opt + lam))[:, None]
+        kr_opt = (k * r_opt[:, 0])[:, None]
+        beta_j = sign * beta_emb
+
+        def stats_step(_, chunk):
+            X_b, y_b, s2_b = chunk
+            W_b = _features_real_pair(X_b, M_d, b_d, precision=precision)
+            Gu_b = jnp.dot(W_b, Qs, precision=precision)
+            num = inv_c0 * jnp.dot(Gu_b, kr_opt, precision=precision)[:, 0]
+            sig2 = inv_c0 * jnp.dot(Gu_b * Gu_b, r_opt, precision=precision)[:, 0]
+            lev = s2_b * sig2
+            e_raw = (num - y_b) / (1.0 - lev)
+            resid = jnp.dot(W_b, beta_j, precision=precision) - y_b
+            return None, (e_raw, lev, sig2, resid)
+
+        _, (e_raw_c, lev_c, sig2_c, resid_c) = jax.lax.scan(stats_step, None, (Xc, yc, s2c))
+        e_raw = e_raw_c.reshape(-1)
+        lev_opt = lev_c.reshape(-1)
+        sigma2 = sig2_c.reshape(-1)
+        residuals = _clip_classifier_residuals(resid_c.reshape(-1), y_l, is_classifier)
+        e_clipped = _clip_classifier_residuals(e_raw, y_l, is_classifier)
+        if is_classifier:
+            correct = (jnp.sign(y_l + e_raw) == y_l).astype(dtype)
+            loo_score = jax.lax.psum(s_l @ correct, "data")
+        else:
+            y_mean = jax.lax.psum(s_l @ y_l, "data")
+            ss_res = jax.lax.psum(s_l @ (e_raw * e_raw), "data")
+            dy = y_l - y_mean
+            # Padding rows carry s=0, so they do not perturb the weighted moments.
+            ss_tot = jax.lax.psum(s_l @ (dy * dy), "data")
+            loo_score = 1.0 - ss_res / ss_tot
+        loo_sigma2 = sigma2 + (s_l * sigma2) ** 2 / (1.0 - lev_opt)
+        return {
+            "beta_emb": beta_emb,
+            "gamma": gamma_opt,
+            "optimum_index": optimum,
+            "lam": lam,
+            "Qs": Qs,
+            "loo_errors_gammas": loo_errors_gs,
+            "loo_residuals": e_clipped,
+            "loo_yhat": y_l + e_clipped,
+            "loo_leverage": lev_opt,
+            "loo_error": loo_errors_gs[optimum],
+            "loo_score": loo_score,
+            "loo_std": jnp.sqrt(loo_sigma2),
+            "residuals": residuals,
+        }
+
+    row_spec = P("data")
+    rep = P()
+    out_specs = {
+        "beta_emb": rep,
+        "gamma": rep,
+        "optimum_index": rep,
+        "lam": rep,
+        "Qs": rep,
+        "loo_errors_gammas": rep,
+        "loo_residuals": row_spec,
+        "loo_yhat": row_spec,
+        "loo_leverage": row_spec,
+        "loo_error": rep,
+        "loo_score": rep,
+        "loo_std": row_spec,
+        "residuals": row_spec,
+    }
+    in_specs = (P("data", None), rep, rep, row_spec, row_spec, rep)
+    fit_fn = jax.jit(_shard_map(body, mesh, in_specs, out_specs))
+    result = fit_fn(
+        jax.device_put(X_p, NamedSharding(mesh, P("data", None))),
+        jnp.asarray(np.asarray(M_map)),
+        jnp.asarray(np.asarray(b_map)),
+        jax.device_put(y_p, NamedSharding(mesh, row_spec)),
+        jax.device_put(s_p, NamedSharding(mesh, row_spec)),
+        jnp.asarray(np.asarray(gammas)),
+    )
+    return trim_per_row(result, n)

@@ -82,6 +82,9 @@ def _registry() -> dict[str, type]:
 
 def model_to_state_dict(model: Any) -> dict[str, Any]:
     """Serialise a fitted ``NeoLSSVM`` into a nested dict of arrays/scalars."""
+    materialize = getattr(model, "_materialize_result", None)
+    if callable(materialize):
+        materialize()  # lazily-held device results must land in vars(model) first
     def _storable(v: Any) -> bool:
         return v is None or isinstance(v, (str, bool, int, float, np.generic, np.ndarray, tuple))
 

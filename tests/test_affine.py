@@ -124,3 +124,50 @@ def test_device_normalizer_stats_match_host(monkeypatch) -> None:
     dev = aff.AffineNormalizer().fit(X, y, w)
     np.testing.assert_allclose(dev.shift_, host.shift_, rtol=1e-10)
     np.testing.assert_allclose(dev.scale_, host.scale_, rtol=1e-10)
+
+
+def test_device_normalizer_stats_with_staged_padded_x(monkeypatch) -> None:
+    """The hinted device path gathers from an already-staged, row/column-padded X."""
+    import jax.numpy as jnp
+
+    import neo_ls_svm_tpu.ops.affine as aff
+
+    gen = np.random.RandomState(10)
+    n, d = 4000, 5
+    X = gen.randn(n, d) * np.logspace(-1, 1, d)
+    y = np.sin(X[:, 0]) + 0.3 * gen.randn(n)
+    w = gen.rand(n) + 0.2
+    host = aff.AffineNormalizer().fit(X, y, w)
+    monkeypatch.setattr(aff, "DEVICE_STATS_HINTED_MIN_ROWS", 1)
+    dev = aff.AffineNormalizer()
+    dev._device_X_hint = jnp.asarray(np.pad(X, ((0, 96), (0, 3))))  # solver-style padding
+    dev.fit(X, y, w)
+    np.testing.assert_allclose(dev.shift_, host.shift_, rtol=1e-10)
+    np.testing.assert_allclose(dev.scale_, host.scale_, rtol=1e-10)
+
+
+def test_separator_device_hint_matches_host_end_to_end(monkeypatch) -> None:
+    """A hinted separator fit (device normalizer stats inside) matches the host fit to
+    float tolerance, and the hint does not leak into the fitted object."""
+    import jax.numpy as jnp
+
+    import neo_ls_svm_tpu.ops.affine as aff
+
+    gen = np.random.RandomState(11)
+    n, d = 3000, 4
+    X = gen.randn(n, d)
+    y = np.sin(X[:, 0]) + 0.5 * X[:, 1] + 0.1 * gen.randn(n)
+    host = aff.AffineSeparator().fit(X, y)
+    monkeypatch.setattr(aff, "DEVICE_STATS_HINTED_MIN_ROWS", 1)
+    dev = aff.AffineSeparator()
+    dev._device_X_hint = jnp.asarray(X)
+    dev.fit(X, y)
+    del dev._device_X_hint
+    np.testing.assert_allclose(dev.shift_, host.shift_, rtol=1e-9)
+    np.testing.assert_allclose(dev.scale_, host.scale_, rtol=1e-9)
+    # Same RNG draws downstream → A_ agrees to float tolerance.
+    assert dev.A_.shape == host.A_.shape
+    np.testing.assert_allclose(dev.A_, host.A_, rtol=1e-6, atol=1e-9)
+    import pickle
+
+    pickle.dumps(dev)  # no device buffers left on the fitted object

@@ -309,11 +309,39 @@ def test_dual_threshold_boundary() -> None:
     assert at_threshold.dual_ and not above.dual_
 
 
+def _gamma_near_optimal(fast, high, rel: float = 1e-3) -> bool:
+    """The fast path's chosen γ must be near-optimal under the high-precision LOO
+    objective (the objective is extremely flat near its minimum, so grid-index
+    distance is not a meaningful gate)."""
+    idx = int(np.argmin(np.abs(high.γs_ - fast.γ_)))
+    best = float(np.min(high.loo_errors_γs_))
+    return float(high.loo_errors_γs_[idx]) <= best * (1.0 + rel)
+
+
 def test_fast_precision_streaming_on_cpu(monkeypatch) -> None:
-    """precision='fast' must not enable Pallas on non-TPU backends (no CPU lowering)."""
+    """precision='fast' must not enable Pallas on non-TPU backends (no CPU lowering),
+    and the fast streaming route must stay within an accuracy floor of the high-
+    precision in-memory route: LOO score within 0.01 and γ within one grid step."""
     import neo_ls_svm_tpu.models.estimator as est_mod
 
-    monkeypatch.setattr(est_mod, "STREAMING_BYTES_THRESHOLD", 1)  # force streaming
     X, y = make_regression_dataset(n=2048, seed=103)
-    model = NeoLSSVM(precision="fast").fit(X.astype(np.float32), y.astype(np.float32))
-    assert model.loo_score_ > 0.5
+    X32, y32 = X.astype(np.float32), y.astype(np.float32)
+    high = NeoLSSVM(precision="high").fit(X32, y32)
+    monkeypatch.setattr(est_mod, "STREAMING_BYTES_THRESHOLD", 1)  # force streaming
+    fast = NeoLSSVM(precision="fast").fit(X32, y32)
+    assert abs(fast.loo_score_ - high.loo_score_) < 0.01
+    assert _gamma_near_optimal(fast, high)
+    pred_fast = fast.predict(X32[:256])
+    pred_high = high.predict(X32[:256])
+    assert np.max(np.abs(pred_fast - pred_high)) < 0.02 * np.std(y32)
+
+
+def test_fast_precision_in_memory_accuracy_floor() -> None:
+    """On the default in-memory route, precision='fast' (reduced-precision sweep
+    matmuls) must match the high path: LOO score within 0.005 and a near-optimal γ."""
+    X, y = make_regression_dataset(n=2048, seed=104)
+    X32, y32 = X.astype(np.float32), y.astype(np.float32)
+    high = NeoLSSVM(precision="high").fit(X32, y32)
+    fast = NeoLSSVM(precision="fast").fit(X32, y32)
+    assert abs(fast.loo_score_ - high.loo_score_) < 0.005
+    assert _gamma_near_optimal(fast, high)

@@ -85,6 +85,23 @@ def test_realistic_shape_parity(maker) -> None:
         assert ours_score > 0.7
 
 
+@pytest.mark.parametrize(
+    ("maker", "n"), [(make_churn_like, 20000), (make_ames_like, 25000)]
+)
+def test_dataset_scale_parity(maker, n) -> None:
+    """Full-pipeline parity at the reference benchmark's dataset scale (20-25k rows),
+    where the quantizer sees dense ECDFs and the separator sees large bins."""
+    X, y = maker(n=n, seed=95)
+    split = int(0.85 * len(y))
+    ours = NeoLSSVM().fit(X[:split], y[:split])
+    theirs = RefNeoLSSVM().fit(X[:split], y[:split])
+    assert ours.γ_ == pytest.approx(theirs.γ_, rel=1e-10)
+    np.testing.assert_allclose(ours.loo_residuals_, theirs.loo_residuals_, rtol=1e-5, atol=1e-7)
+    assert ours.score(X[split:], y[split:]) == pytest.approx(
+        theirs.score(X[split:], y[split:]), abs=1e-6
+    )
+
+
 def test_ames_like_interval_coverage() -> None:
     X, y = make_ames_like(n=5000)
     split = int(0.85 * len(y))

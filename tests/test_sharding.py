@@ -6,7 +6,12 @@ import pytest
 
 from neo_ls_svm_tpu.models.primal import gamma_grid, primal_fit
 from neo_ls_svm_tpu.ops.orff import OrthogonalRandomFourierFeatures
-from neo_ls_svm_tpu.parallel.mesh import make_mesh, required_padding, sharded_primal_fit
+from neo_ls_svm_tpu.parallel.mesh import (
+    make_mesh,
+    required_padding,
+    sharded_primal_fit,
+    sharded_primal_fit_streaming,
+)
 
 from .conftest import make_regression_dataset
 
@@ -48,6 +53,69 @@ def test_sharded_primal_fit_matches_single_device(mesh_shape) -> None:
     np.testing.assert_allclose(
         np.asarray(sharded["loo_std"]), np.asarray(single["loo_std"]), rtol=1e-7
     )
+
+
+@pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2)])
+def test_sharded_streaming_fit_matches_single_device(mesh_shape) -> None:
+    """Sharding × streaming compose: per-chip row chunks, one Gram psum."""
+    X, y = make_regression_dataset(n=1500, seed=43)
+    s = np.ones_like(y)
+    fmap = OrthogonalRandomFourierFeatures(num_features=64).fit(X, y, s)
+    M_map, b_map = fmap.linear_map()
+    gammas = gamma_grid(np.float64)
+
+    import jax.numpy as jnp
+
+    single = primal_fit(
+        jnp.asarray(X),
+        jnp.asarray(M_map),
+        jnp.asarray(b_map),
+        jnp.asarray(y),
+        jnp.asarray(s),
+        jnp.asarray(gammas),
+        is_classifier=False,
+    )
+    mesh = make_mesh(num_data=mesh_shape[0], num_feature=mesh_shape[1])
+    # row_chunk far below n/num_data → every chip runs a multi-step local scan.
+    sharded = sharded_primal_fit_streaming(
+        mesh, X, M_map, b_map, y, s, gammas, is_classifier=False, row_chunk=64
+    )
+    assert float(sharded["gamma"]) == pytest.approx(float(single["gamma"]), rel=1e-12)
+    for key in ("loo_residuals", "beta_emb", "loo_std", "residuals", "loo_errors_gammas"):
+        np.testing.assert_allclose(
+            np.asarray(sharded[key]), np.asarray(single[key]), rtol=1e-6, atol=1e-12
+        )
+    assert float(sharded["loo_score"]) == pytest.approx(float(single["loo_score"]), rel=1e-9)
+
+
+def test_estimator_mesh_auto_streams_when_working_set_large(monkeypatch) -> None:
+    """NeoLSSVM(mesh=...) routes to the sharded streaming fit above the per-chip
+    working-set threshold."""
+    import neo_ls_svm_tpu.models.estimator as est_mod
+    from neo_ls_svm_tpu import NeoLSSVM
+
+    X, y = make_regression_dataset(n=1500, seed=44)
+    single = NeoLSSVM().fit(X, y)
+    monkeypatch.setattr(est_mod, "STREAMING_BYTES_THRESHOLD", 1)  # force streaming
+    mesh = make_mesh(num_data=8, num_feature=1)
+    sharded = NeoLSSVM(mesh=mesh).fit(X, y)
+    assert sharded.γ_ == pytest.approx(single.γ_, rel=1e-12)
+    np.testing.assert_allclose(sharded.loo_residuals_, single.loo_residuals_, rtol=1e-6)
+    np.testing.assert_allclose(sharded.predict(X[:100]), single.predict(X[:100]), rtol=1e-6)
+
+
+def test_multihost_mesh_helpers_single_process() -> None:
+    """Single-process behaviour of the multi-host scaffolding: init is a no-op and the
+    mesh factory falls back to the plain ICI mesh (multi-slice DCN layouts need real
+    pod hardware, unavailable here)."""
+    from neo_ls_svm_tpu.parallel.distributed import (
+        initialize_distributed,
+        make_multihost_mesh,
+    )
+
+    assert initialize_distributed() is False
+    mesh = make_multihost_mesh(num_feature=2)
+    assert mesh.shape == {"data": 4, "feature": 2}
 
 
 def test_required_padding() -> None:
