@@ -252,7 +252,60 @@ def coherent_linear_quantile_regression(
         beta_full = _solve_exact_lp(X, y, quantiles_full, s, alpha)
         beta = beta_full[:, 0 :: (coherence_buffer + 1)]
         return beta.astype(y.dtype), beta_full.astype(y.dtype)
+    beta_full = _solve_smooth_batched(X, y[np.newaxis, :], quantiles_full, s[np.newaxis, :], alpha)[0]
+    beta = beta_full[:, 0 :: (coherence_buffer + 1)]
+    return beta.astype(y.dtype), beta_full.astype(y.dtype)
 
+
+def coherent_linear_quantile_regression_batched(
+    X: npt.NDArray,
+    Y: npt.NDArray,
+    *,
+    quantiles: npt.NDArray,
+    sample_weight: npt.NDArray | None = None,
+    coherence_buffer: int = 3,
+) -> tuple[npt.NDArray, npt.NDArray]:
+    """Fit T coherent quantile regressions sharing one design matrix in a single
+    vmapped Newton solve (the smooth/scale path).
+
+    ``Y`` has shape (T, n) — e.g. the conformal stack's absolute and relative
+    nonconformity targets batched into one device solve instead of two sequential
+    fits. Returns (β, β_full) of shapes (T, F, |quantiles|) and (T, F, Q_full).
+    """
+    Y = np.atleast_2d(np.asarray(Y))
+    num_samples, num_features = X.shape
+    quantiles_full = _extend_quantiles(np.asarray(quantiles), coherence_buffer)
+    num_quantiles = len(quantiles_full)
+    assert np.array_equal(quantiles_full, np.sort(quantiles_full)), "Quantiles must be sorted."
+    s = (
+        np.ones((Y.shape[0], num_samples), dtype=Y.dtype)
+        if sample_weight is None
+        else np.broadcast_to(np.asarray(sample_weight), Y.shape).copy()
+    )
+    s = s / np.sum(s, axis=1, keepdims=True)
+    alpha = np.sqrt(np.finfo(Y.dtype).eps) / (num_quantiles * num_features)
+    beta_full = _solve_smooth_batched(X, Y, quantiles_full, s, alpha)
+    beta = beta_full[:, :, 0 :: (coherence_buffer + 1)]
+    return beta.astype(Y.dtype), beta_full.astype(Y.dtype)
+
+
+def _solve_smooth_batched(
+    X: npt.NDArray,
+    Y: npt.NDArray,  # (T, n) — T target vectors sharing one design matrix
+    quantiles_full: npt.NDArray,
+    S: npt.NDArray,  # (T, n) — normalised per-target sample weights
+    alpha: float,
+) -> npt.NDArray:
+    """Damped-Newton smoothed-pinball solve, vmapped over stacked targets.
+
+    Returns β_full of shape (T, F, Q). All T fits share the standardised design, the
+    monotonicity box, and the continuation schedule; the Newton stages (grad, dense
+    Hessian, backtracking) run as ONE batched device program instead of T sequential
+    solves.
+    """
+    num_samples, num_features = X.shape
+    num_quantiles = len(quantiles_full)
+    T = Y.shape[0]
     # Standardise for solver conditioning (constant columns — the intercept — keep
     # scale 1); fold the standardisation back into β afterwards.
     x_scale = np.std(X, axis=0)
@@ -265,59 +318,57 @@ def coherent_linear_quantile_regression(
         # Without an intercept column there is nowhere to fold a centering offset back.
         x_mean[:] = 0.0
     Xs = (X - x_mean) / x_scale
-    y_scale = max(float(np.median(np.abs(y - np.median(y)))), 1e-8)
-    ys = (y - np.median(y)) / y_scale
+    y_med = np.median(Y, axis=1, keepdims=True)  # (T, 1)
+    y_scale = np.maximum(np.median(np.abs(Y - y_med), axis=1, keepdims=True), 1e-8)
+    Ys = (Y - y_med) / y_scale
 
     # Initialise every quantile's fit at the weighted empirical quantile (intercepts
     # only), which is already coherent.
-    B0 = np.zeros((num_features, num_quantiles), dtype=np.float64)
+    B0 = np.zeros((T, num_features, num_quantiles), dtype=np.float64)
     intercept_col = int(np.argmax(constant_cols)) if np.any(constant_cols) else None
-    q_init = weighted_quantile(ys, s, quantiles_full, axis=None)
     if intercept_col is not None:
-        B0[intercept_col, :] = q_init / Xs[0, intercept_col]
+        for t in range(T):
+            q_init = weighted_quantile(Ys[t], S[t], quantiles_full, axis=None)
+            B0[t, intercept_col, :] = q_init / Xs[0, intercept_col]
 
     solver_dtype = jnp.zeros(0, dtype=float).dtype  # f64 when x64 enabled, else f32.
     q_dev = jnp.asarray(quantiles_full, dtype=solver_dtype)
     X_dev = jnp.asarray(Xs, dtype=solver_dtype)
-    y_dev = jnp.asarray(ys, dtype=solver_dtype)
-    s_dev = jnp.asarray(s, dtype=solver_dtype)
+    Y_dev = jnp.asarray(Ys, dtype=solver_dtype)
+    S_dev = jnp.asarray(S, dtype=solver_dtype)
     corners = _monotonicity_box(Xs)
     X_mono_np = np.vstack([Xs, corners])
     X_mono = jnp.asarray(X_mono_np, dtype=solver_dtype)
     B = jnp.asarray(B0)
+    stage = jax.vmap(
+        lambda b, y_t, s_t, eps, pen: _newton_stage(
+            b, X_dev, y_t, q_dev, s_t, jnp.asarray(alpha), eps, pen, X_mono, num_steps=20
+        ),
+        in_axes=(0, 0, 0, None, None),
+    )
     # (smoothing, penalty) continuation: exterior penalty hardens as the pinball sharpens.
     for eps_rel, penalty in ((0.3, 1e2), (0.03, 1e3), (3e-3, 1e4), (3e-4, 3e5)):
-        B = _newton_stage(
-            B,
-            X_dev,
-            y_dev,
-            q_dev,
-            s_dev,
-            jnp.asarray(alpha),
-            jnp.asarray(eps_rel),
-            jnp.asarray(penalty),
-            X_mono,
-            num_steps=20,
-        )
-    B = np.asarray(B)
+        B = stage(B, Y_dev, S_dev, jnp.asarray(eps_rel), jnp.asarray(penalty))
+    B = np.asarray(B)  # (T, F, Q)
 
     # Undo the standardisation: ŷ = median + y_scale·(Xs @ B) = X @ β + const terms.
-    beta_full = (y_scale * B) / x_scale[:, None]
-    offset = float(np.median(y)) - y_scale * (x_mean / x_scale) @ B
+    beta_full = (y_scale[:, :, None] * B) / x_scale[None, :, None]
+    offset = y_med[:, 0, None] - y_scale[:, 0, None] * np.einsum(
+        "f,tfq->tq", x_mean / x_scale, B
+    )
     if intercept_col is not None:
-        beta_full[intercept_col, :] = (
-            beta_full[intercept_col, :] * x_scale[intercept_col] + offset
+        beta_full[:, intercept_col, :] = (
+            beta_full[:, intercept_col, :] * x_scale[intercept_col] + offset
         ) / X[0, intercept_col]
-    # Exact monotonicity over the inflated box: cumulative intercept repair of any
-    # residual violations, evaluated at the box vertices and the training rows.
-    if intercept_col is not None:
+        # Exact monotonicity over the inflated box: cumulative intercept repair of any
+        # residual violations, evaluated at the box vertices and the training rows.
         X_repair = np.vstack([X, X_mono_np * x_scale[None, :] + x_mean[None, :]])
-        pred = X_repair @ beta_full
-        gaps = np.max(pred[:, :-1] - pred[:, 1:], axis=0, initial=0.0)
-        shift = np.concatenate([[0.0], np.cumsum(np.maximum(gaps, 0.0))])
-        beta_full[intercept_col, :] += shift / X[0, intercept_col]
-    beta = beta_full[:, 0 :: (coherence_buffer + 1)]
-    return beta.astype(y.dtype), beta_full.astype(y.dtype)
+        for t in range(T):
+            pred = X_repair @ beta_full[t]
+            gaps = np.max(pred[:, :-1] - pred[:, 1:], axis=0, initial=0.0)
+            shift = np.concatenate([[0.0], np.cumsum(np.maximum(gaps, 0.0))])
+            beta_full[t, intercept_col, :] += shift / X[0, intercept_col]
+    return beta_full
 
 
 class CoherentLinearQuantileRegressor(RegressorMixin, BaseEstimator):

@@ -316,11 +316,11 @@ class NeoLSSVM(BaseEstimator):
                 M_d, b_d, y_d, s_d, g_d = jax.device_put(
                     (M_map.astype(X.dtype), b_map.astype(X.dtype), y_p, s_p, self.γs_)
                 )
-                # "fast" precision additionally routes through the fused Pallas
-                # kernels (bf16 MXU multiplies, f32 accumulation) — TPU backends only;
-                # Pallas does not lower on CPU outside interpret mode.
-                on_tpu = jax.devices()[0].platform not in ("cpu", "gpu")
-                use_pallas = self.precision == "fast" and on_tpu
+                # The streaming route runs the fused Pallas kernels by default on TPU
+                # backends (hardware-verified f32-exact multiplies at precision='high';
+                # single-pass bf16 multiplies at precision='fast'). Pallas does not
+                # lower on CPU/GPU outside interpret mode.
+                use_pallas = jax.devices()[0].platform not in ("cpu", "gpu")
                 result = primal_fit_streaming(
                     X_dev,
                     M_d,

@@ -361,7 +361,8 @@ def primal_fit_streaming(
     # Pass 1: one augmented Gram accumulates every second-order statistic at once —
     # Y = [W | y] so YᵀS²Y contains WᵀS²W (the Gram), WᵀS²y (the rhs), and yᵀS²y.
     if use_pallas_gram:
-        # Fused Pallas kernel: feature block never round-trips through HBM.
+        # Fused Pallas kernel: feature block never round-trips through HBM. Block
+        # size capped at 256 rows — the (2D+2)² accumulator + W block must fit VMEM.
         from neo_ls_svm_tpu.ops.pallas.gram import (  # noqa: PLC0415
             fused_augmented_gram,
             w_basis_from_augmented,
@@ -369,7 +370,7 @@ def primal_fit_streaming(
 
         with jax.named_scope("gram_stream_pallas"):
             G_aug_k = fused_augmented_gram(
-                X, M_map, b_map, s2, y, block_rows=min(row_chunk, 512)
+                X, M_map, b_map, s2, y, block_rows=min(row_chunk, 256)
             )
             G, b_vec = w_basis_from_augmented(G_aug_k, D)
     else:
@@ -420,6 +421,7 @@ def primal_fit_streaming(
                 block_rows=min(row_chunk, 128),
                 is_classifier=is_classifier,
                 inv_c0_static=inv_c0_static,
+                mxu_precision=sweep_precision,
             )
     else:
 

@@ -4,11 +4,16 @@ The solver's hottest pass evaluates, for every γ on the grid, the weighted LOO
 objective — per row-block this is: rebuild the cos/sin feature block W, project into
 the eigenbasis (Gu = W·Qs), form two resolvent contractions (Gu∘k)·r and (Gu²)·r, take
 the LOO residuals, and reduce. Under XLA each intermediate (W, Gu, Gu², the n×G
-numerator/leverage panels) round-trips through HBM. Here the whole chain runs in VMEM
-per row block with the eigenbasis Qs and the resolvent panel r resident across the
-grid; only X is streamed in and two G-vectors come out.
+numerator/leverage panels) round-trips through HBM. Here the whole chain runs in VMEM:
+the grid is (row blocks × γ blocks) with the γ axis innermost; the eigenbasis
+projection Gu is computed once per row block into a VMEM scratch and reused across the
+γ blocks, while the resolvent panel streams in (2M × γ_block) tiles so the working set
+stays well under the ~16 MB scoped VMEM even with the multi-pass f32 MXU scheme
+(``precision=HIGHEST`` — hardware-verified to match XLA HIGHEST to f32 rounding;
+without it Mosaic rounds the multiplies to one bf16 pass, ~1e-4 relative error).
 
-HBM traffic: n·d reads + 2·G writes — versus ≥ 3·n·2M + 2·n·G under the scan path.
+HBM traffic: n·d reads + G·2M resolvent reads + 2·G writes — versus ≥ 3·n·2M + 2·n·G
+under the scan path.
 """
 
 import functools
@@ -17,6 +22,7 @@ import math
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 
 def _sweep_kernel(
@@ -31,26 +37,38 @@ def _sweep_kernel(
     k_ref,
     err_ref,
     obj_ref,
+    gu_scratch,
     *,
     inv_sqrt_d: float,
     inv_c0: float,
     is_classifier: bool,
+    mxu_precision: jax.lax.Precision,
 ):
-    i = pl.program_id(0)
+    i = pl.program_id(0)  # row block (outer)
+    j = pl.program_id(1)  # γ block (inner)
     dtype = x_ref.dtype
-    u = jnp.dot(x_ref[:], m_ref[:], preferred_element_type=dtype) + b_ref[:]
-    rows = u.shape[0]
-    ones = jnp.ones((rows, 1), dtype)
-    zeros = jnp.zeros((rows, 1), dtype)
-    W = jnp.concatenate(
-        [jnp.cos(u) * inv_sqrt_d, ones, jnp.sin(u) * inv_sqrt_d, zeros], axis=1
-    )
-    Gu = jnp.dot(W, qs_ref[:], preferred_element_type=dtype)
-    num = inv_c0 * jnp.dot(Gu * k_ref[:], r_ref[:], preferred_element_type=dtype)
+    highest = mxu_precision
+
+    @pl.when(j == 0)
+    def _():
+        # New row block: rebuild the feature block and its eigenbasis projection once;
+        # every γ block of this row block reuses it from VMEM scratch.
+        u = jnp.dot(x_ref[:], m_ref[:], precision=highest, preferred_element_type=dtype)
+        u = u + b_ref[:]
+        rows = u.shape[0]
+        ones = jnp.ones((rows, 1), dtype)
+        zeros = jnp.zeros((rows, 1), dtype)
+        W = jnp.concatenate(
+            [jnp.cos(u) * inv_sqrt_d, ones, jnp.sin(u) * inv_sqrt_d, zeros], axis=1
+        )
+        gu_scratch[:] = jnp.dot(W, qs_ref[:], precision=highest, preferred_element_type=dtype)
+
+    Gu = gu_scratch[:]
+    num = inv_c0 * jnp.dot(Gu * k_ref[:], r_ref[:], precision=highest, preferred_element_type=dtype)
     lev = (
         inv_c0
         * s2_ref[:]
-        * jnp.dot(Gu * Gu, r_ref[:], preferred_element_type=dtype)
+        * jnp.dot(Gu * Gu, r_ref[:], precision=highest, preferred_element_type=dtype)
     )
     e = (num - y_ref[:]) / (1.0 - lev)
     if is_classifier:
@@ -58,7 +76,7 @@ def _sweep_kernel(
         e = jnp.where(((y_col > 0) & (e > 0)) | ((y_col < 0) & (e < 0)), 0.0, e)
     abs_e = jnp.abs(e)
     s_col = s_ref[:]
-    err = jnp.sum(s_col * abs_e, axis=0, keepdims=True)  # 1 × G
+    err = jnp.sum(s_col * abs_e, axis=0, keepdims=True)  # 1 × γ_block
     if is_classifier:
         obj = (
             err
@@ -80,7 +98,15 @@ def _sweep_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_rows", "is_classifier", "inv_c0_static", "interpret")
+    jax.jit,
+    static_argnames=(
+        "block_rows",
+        "block_gammas",
+        "is_classifier",
+        "inv_c0_static",
+        "interpret",
+        "mxu_precision",
+    ),
 )
 def fused_loo_sweep(
     X: jax.Array,
@@ -94,44 +120,55 @@ def fused_loo_sweep(
     k: jax.Array,
     *,
     block_rows: int = 128,
+    block_gammas: int = 256,
     is_classifier: bool,
     inv_c0_static: float,
     interpret: bool = False,
+    mxu_precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
 ) -> tuple[jax.Array, jax.Array]:
-    """Return (loo_errors, objective), each of shape (G,), reduced over all rows."""
+    """Return (loo_errors, objective), each of shape (G,), reduced over all rows.
+
+    ``mxu_precision=HIGHEST`` (default) gives f32-equivalent multiplies; pass DEFAULT
+    for the reduced-precision fast path (single bf16 pass, ~1e-4 relative error — the
+    γ argmin over the smooth objective tolerates it).
+    """
     n, d = X.shape
     assert n % block_rows == 0, "pad rows to a multiple of block_rows"
     D = M_map.shape[1]
     M2 = Qs.shape[0]
     G = r_all.shape[1]
+    block_gammas = min(block_gammas, G)
+    assert G % block_gammas == 0, "γ grid must tile into block_gammas"
     kernel = functools.partial(
         _sweep_kernel,
         inv_sqrt_d=1.0 / math.sqrt(D),
         inv_c0=float(inv_c0_static),
         is_classifier=is_classifier,
+        mxu_precision=mxu_precision,
     )
     err, obj = pl.pallas_call(
         kernel,
-        grid=(n // block_rows,),
+        grid=(n // block_rows, G // block_gammas),
         in_specs=[
-            pl.BlockSpec((block_rows, d), lambda i: (i, 0)),
-            pl.BlockSpec((d, D), lambda i: (0, 0)),
-            pl.BlockSpec((1, D), lambda i: (0, 0)),
-            pl.BlockSpec((block_rows, 1), lambda i: (i, 0)),
-            pl.BlockSpec((block_rows, 1), lambda i: (i, 0)),
-            pl.BlockSpec((block_rows, 1), lambda i: (i, 0)),
-            pl.BlockSpec((M2, M2), lambda i: (0, 0)),
-            pl.BlockSpec((M2, G), lambda i: (0, 0)),
-            pl.BlockSpec((1, M2), lambda i: (0, 0)),
+            pl.BlockSpec((block_rows, d), lambda i, j: (i, 0)),
+            pl.BlockSpec((d, D), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, D), lambda i, j: (0, 0)),
+            pl.BlockSpec((block_rows, 1), lambda i, j: (i, 0)),
+            pl.BlockSpec((block_rows, 1), lambda i, j: (i, 0)),
+            pl.BlockSpec((block_rows, 1), lambda i, j: (i, 0)),
+            pl.BlockSpec((M2, M2), lambda i, j: (0, 0)),
+            pl.BlockSpec((M2, block_gammas), lambda i, j: (0, j)),
+            pl.BlockSpec((1, M2), lambda i, j: (0, 0)),
         ],
         out_specs=(
-            pl.BlockSpec((1, G), lambda i: (0, 0)),
-            pl.BlockSpec((1, G), lambda i: (0, 0)),
+            pl.BlockSpec((1, block_gammas), lambda i, j: (0, j)),
+            pl.BlockSpec((1, block_gammas), lambda i, j: (0, j)),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((1, G), X.dtype),
             jax.ShapeDtypeStruct((1, G), X.dtype),
         ),
+        scratch_shapes=[pltpu.VMEM((block_rows, M2), X.dtype)],
         interpret=interpret,
     )(X, M_map, b_map, y[:, None], s[:, None], s2[:, None], Qs, r_all, k[None, :])
     return err[0], obj[0]

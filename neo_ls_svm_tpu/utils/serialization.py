@@ -90,11 +90,21 @@ def model_to_state_dict(model: Any) -> dict[str, Any]:
 
     # Ephemeral resources (e.g. a device Mesh) are not part of the persisted state;
     # restored models default them (re-attach a mesh by setting the param afterwards).
-    simple_params = {
-        k: (v if _storable(v) else None)
-        for k, v in model.get_params(deep=False).items()
-        if not isinstance(v, BaseEstimator)
-    }
+    simple_params = {}
+    dropped = []
+    for k, v in model.get_params(deep=False).items():
+        if isinstance(v, BaseEstimator):
+            continue
+        simple_params[k] = v if _storable(v) else None
+        if not _storable(v):
+            dropped.append(k)
+    if dropped:
+        warnings.warn(
+            f"Parameters {dropped} are not storable in a state dict and will restore "
+            f"as None (e.g. re-attach a device mesh with set_params after restoring).",
+            UserWarning,
+            stacklevel=2,
+        )
     component_params = {
         k: _component_state(v)
         for k, v in model.get_params(deep=False).items()

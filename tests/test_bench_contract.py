@@ -22,6 +22,8 @@ def test_bench_smoke_json_line() -> None:
     lines = [l for l in result.stdout.strip().splitlines() if l.strip()]
     assert len(lines) == 1, f"expected exactly one stdout line, got: {lines}"
     payload = json.loads(lines[0])
-    assert set(payload) == {"metric", "value", "unit", "vs_baseline"}
+    assert {"metric", "value", "unit", "vs_baseline"} <= set(payload)
     assert payload["unit"] == "s"
     assert payload["value"] > 0
+    assert payload["pallas_value_check"] == "skipped"  # forced-CPU run
+    assert payload["phases"]["host_prep_s"] > 0

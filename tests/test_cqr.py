@@ -113,3 +113,27 @@ def test_cqr_empirical_coverage() -> None:
     y_test = y[1500:]
     coverage = np.mean((y_test >= pred[:, 0]) & (y_test <= pred[:, 1]))
     assert coverage >= 0.85
+
+
+def test_batched_smooth_matches_sequential() -> None:
+    """The vmapped multi-target smooth solve equals T independent smooth fits."""
+    from neo_ls_svm_tpu.models.cqr import (
+        coherent_linear_quantile_regression,
+        coherent_linear_quantile_regression_batched,
+    )
+
+    X, y1 = _make_cqr_problem(n=600, seed=8)
+    _, y2 = _make_cqr_problem(n=600, seed=9)
+    quantiles = np.asarray((0.1, 0.5, 0.9))
+    Xi = np.hstack([X, np.ones((len(X), 1))])
+    betas, betas_full = coherent_linear_quantile_regression_batched(
+        Xi, np.stack([y1, y2]), quantiles=quantiles
+    )
+    assert betas.shape == (2, Xi.shape[1], 3)
+    for t, y in enumerate((y1, y2)):
+        beta_t, beta_full_t = coherent_linear_quantile_regression(
+            Xi, y, quantiles=quantiles, method="smooth"
+        )
+        # vmap changes reduction order inside the Newton stages → ~1e-12 noise.
+        np.testing.assert_allclose(betas[t], beta_t, rtol=1e-7, atol=1e-9)
+        np.testing.assert_allclose(betas_full[t], beta_full_t, rtol=1e-7, atol=1e-9)

@@ -63,3 +63,72 @@ def test_pickle_roundtrip() -> None:
     blob = pickle.dumps(model)
     restored = pickle.loads(blob)
     np.testing.assert_array_equal(restored.predict(X[-100:]), model.predict(X[-100:]))
+
+
+def test_state_dict_warns_on_dropped_mesh_param() -> None:
+    """A fitted-with-mesh model round-trips with an explicit warning that the mesh
+    param restores as None (it is a live device resource, not state)."""
+    import pytest
+
+    from neo_ls_svm_tpu.parallel.mesh import make_mesh
+
+    X, y = make_regression_dataset(n=1500, seed=54)
+    model = NeoLSSVM(mesh=make_mesh(num_data=8)).fit(X, y)
+    with pytest.warns(UserWarning, match="mesh"):
+        state = model.to_state_dict()
+    restored = NeoLSSVM.from_state_dict(state)
+    assert restored.mesh is None
+    np.testing.assert_allclose(restored.predict(X[:50]), model.predict(X[:50]), rtol=1e-12)
+
+
+class _SincORFF:
+    """Deliberately defined OUTSIDE the serialization registry (module-level so the
+    restore path can import it by module+qualname)."""
+
+
+def test_state_dict_roundtrip_with_custom_feature_map_subclass() -> None:
+    from neo_ls_svm_tpu.ops.orff import OrthogonalRandomFourierFeatures
+
+    global _SincORFF
+
+    class _SincORFFImpl(OrthogonalRandomFourierFeatures):
+        pass
+
+    # Re-point the module-level name so module+qualname restore resolves.
+    _SincORFFImpl.__qualname__ = "_SincORFF"
+    _SincORFFImpl.__name__ = "_SincORFF"
+    _SincORFF = _SincORFFImpl
+
+    X, y = make_regression_dataset(n=1500, seed=55)
+    model = NeoLSSVM(primal_feature_map=_SincORFF(num_features=64)).fit(X, y)
+    state = model.to_state_dict()
+    restored = NeoLSSVM.from_state_dict(state)
+    assert type(restored.primal_feature_map_).__name__ == "_SincORFF"
+    np.testing.assert_allclose(restored.predict(X[:50]), model.predict(X[:50]), rtol=1e-12)
+
+
+def test_state_dict_restore_unimportable_class_raises_helpfully() -> None:
+    X, y = make_regression_dataset(n=1500, seed=56)
+    model = NeoLSSVM().fit(X, y)
+    state = model.to_state_dict()
+    state["components"]["primal_feature_map_"]["class"] = "NoSuchMap"
+    state["components"]["primal_feature_map_"]["module"] = "no.such.module"
+    state["components"]["primal_feature_map_"]["qualname"] = "NoSuchMap"
+    import pytest
+
+    with pytest.raises(ValueError, match="NoSuchMap"):
+        NeoLSSVM.from_state_dict(state)
+
+
+def test_dual_route_predict_std_and_interval_after_restore() -> None:
+    """The dual route's train-state (X_, chol) must survive a restore and re-stage on
+    device on first use (ref predict_std dual path _neo_ls_svm.py:470-475)."""
+    X, y = make_regression_dataset(n=700, seed=57)
+    model = NeoLSSVM().fit(X[:-100], y[:-100])
+    assert model.dual_
+    iv = np.asarray(model.predict_interval(X[-100:], coverage=0.9))
+    restored = pickle.loads(pickle.dumps(model))
+    np.testing.assert_array_equal(
+        np.asarray(restored.predict_std(X[-100:])), np.asarray(model.predict_std(X[-100:]))
+    )
+    np.testing.assert_array_equal(np.asarray(restored.predict_interval(X[-100:], coverage=0.9)), iv)
