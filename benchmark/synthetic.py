@@ -24,6 +24,8 @@ import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))  # repo root
+
 
 def _gen(seed):
     return np.random.RandomState(seed)
@@ -81,9 +83,15 @@ def _import_reference():
 
 
 def _evaluate(model_name: str, fit_fn, X_tr, y_tr, X_te, y_te, kind: str) -> dict:
-    """Fit + score one model on one task with the reference's metric protocol."""
+    """Fit + score one model on one task with the reference's metric protocol.
+
+    A warm-up fit precedes the timed fit (the reference's scripts do the same for
+    their first dataset, ref benchmark/classification.py:102-105); on TPU this keeps
+    one-off XLA compilation out of the steady-state timing.
+    """
     from neo_ls_svm_tpu.utils.metrics import r2_score, roc_auc_score
 
+    fit_fn(X_tr, y_tr)  # warm-up (JIT compile / BLAS warm)
     t0 = time.perf_counter()
     model = fit_fn(X_tr, y_tr)
     fit_s = time.perf_counter() - t0
@@ -107,7 +115,9 @@ def main() -> None:
     from sklearn.svm import SVC, SVR
 
     from neo_ls_svm_tpu import NeoLSSVM
+    from neo_ls_svm_tpu.utils.compilation_cache import enable_compilation_cache
 
+    enable_compilation_cache()  # repeat runs skip the cold XLA compiles entirely
     RefNeoLSSVM = None if args.skip_reference else _import_reference()
 
     tasks = TASKS[:4] if args.quick else TASKS
