@@ -23,7 +23,7 @@ import numpy as np
 import numpy.typing as npt
 
 from neo_ls_svm_tpu.ops.quantizer import sample_bins_quantized_ecdf
-from neo_ls_svm_tpu.ops.weighted_quantile import weighted_quantile, weighted_quantile_jax
+from neo_ls_svm_tpu.ops.weighted_quantile import weighted_quantile
 from neo_ls_svm_tpu.utils.base import BaseEstimator, TransformerMixin
 from neo_ls_svm_tpu.utils.validation import (
     check_array,
@@ -296,9 +296,10 @@ DEVICE_STATS_MIN_ROWS = 1_000_000
 DEVICE_STATS_HINTED_MIN_ROWS = 65_536
 # On the tunneled `axon` platform every transfer pays ~100 ms latency at ~50 MB/s, so a
 # hinted device-stats run *stalls on the in-flight X upload* instead of overlapping the
-# host argsorts with it; the device path only pays off there once the sorts dwarf the
-# stall (measured crossover ≈ 0.5M rows).
-DEVICE_STATS_HINTED_MIN_ROWS_TUNNELED = 524_288
+# host argsorts with it. With the sort-free bisection statistics (~0.1-0.3 s on device)
+# the crossover sits around 200k rows (262k measured: device 1.03 s vs host 1.13 s
+# total fit); below that the host argsorts are cheaper than the stall.
+DEVICE_STATS_HINTED_MIN_ROWS_TUNNELED = 200_000
 
 
 def _device_stats_threshold(hinted: bool) -> float:
@@ -313,53 +314,166 @@ def _device_stats_threshold(hinted: bool) -> float:
     return DEVICE_STATS_HINTED_MIN_ROWS
 
 
-def _next_pow2(n: int, floor: int = 512) -> int:
-    return max(floor, 1 << (int(n - 1).bit_length()))
+def _float_to_ordered_int(x: jax.Array) -> jax.Array:
+    """Map finite floats to integers with the same total order (IEEE-754 bit trick).
+
+    Non-negative floats compare like their (sign-preserving) bit patterns; negative
+    floats compare in reverse, fixed by reflecting them below zero. ±0.0 collide —
+    which is correct, they are equal as floats.
+    """
+    int_dtype = jnp.int64 if x.dtype == jnp.float64 else jnp.int32
+    bits = jax.lax.bitcast_convert_type(x, int_dtype)
+    return jnp.where(bits >= 0, bits, jnp.iinfo(int_dtype).min - bits)
 
 
-@partial(jax.jit, static_argnames=("num_bins", "max_bin_rows"))
+def _ordered_int_to_float(o: jax.Array, dtype: Any) -> jax.Array:
+    int_dtype = jnp.int64 if dtype == jnp.float64 else jnp.int32
+    bits = jnp.where(o >= 0, o, jnp.iinfo(int_dtype).min - o)
+    return jax.lax.bitcast_convert_type(bits, dtype)
+
+
+def grouped_weighted_median(
+    X: jax.Array,  # (n, d)
+    w: jax.Array,  # (n,) nonnegative; 0 excludes a row
+    codes: jax.Array,  # (n,) int32 bin codes; codes >= num_bins are excluded
+    num_bins: int,
+) -> jax.Array:
+    """(num_bins, d) weighted medians per (bin, column) — sort-free.
+
+    Same averaged lower/upper ECDF convention as :func:`weighted_quantile` (ref
+    ``_weighted_quantile.py:56-75``), reconstructed from run-boundary masses instead
+    of per-entry cumulative sums: a ~34-step bisection in float-bit space finds, per
+    (bin, column), the smallest member value v_hi whose cumulative weight reaches half
+    the bin mass; the two ECDF interpolations then only need mass(<v_hi), mass(≤v_hi),
+    the run count at v_hi, and the neighbouring member values. All bin-grouped masses
+    are one-hot matmuls (MXU), so the whole computation is O(iters·n·d) elementwise
+    work plus tiny (B×n)@(n×d) contractions — no O(B·n_max·d) padded gather and no
+    device sort. Within a tie run the entry weight is taken as the run average, which
+    coincides with any sort order for uniform weights (sort tie order is unspecified
+    in both the host and previous device paths anyway).
+    """
+    n, d = X.shape
+    compute = X.dtype
+    onehot = (codes[:, None] == jnp.arange(num_bins, dtype=codes.dtype)[None, :]).astype(compute)
+    w_oh = onehot * w[:, None].astype(compute)  # (n, B) per-bin weighted indicator
+    W = jnp.sum(w_oh, axis=0)  # (B,)
+    t = 0.5 * W
+    xo = _float_to_ordered_int(X)  # (n, d) ordered ints, same width as the dtype
+    int_dtype = xo.dtype
+    lo = jnp.full((num_bins, d), jnp.iinfo(int_dtype).min, int_dtype)
+    hi = jnp.full((num_bins, d), jnp.iinfo(int_dtype).max, int_dtype)
+    num_iters = 65 if X.dtype == jnp.float64 else 33
+
+    def body(_, state):
+        lo, hi = state
+        # Overflow-safe floor average: the ordered ints span the full integer range.
+        mid = (lo >> 1) + (hi >> 1) + (lo & hi & 1)
+        mid_rows = mid[jnp.clip(codes, 0, num_bins - 1)]  # (n, d); invalid rows w=0
+        le = (xo <= mid_rows).astype(compute)
+        mass = jax.lax.dot_general(
+            w_oh,
+            le,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=compute,
+        )  # (B, d)
+        ge = mass >= t[:, None]
+        return jnp.where(ge, lo, mid + 1), jnp.where(ge, mid, hi)
+
+    lo, hi = jax.lax.fori_loop(0, num_iters, body, (lo, hi))
+    v_hi = _ordered_int_to_float(hi, X.dtype)  # (B, d) crossing member value
+
+    # Final boundary masses in f64: mass_le - mass_lt is a single entry's weight, a
+    # catastrophic cancellation of two ~W/2-sized sums in f32 at large n.
+    acc = jnp.float64 if jax.config.read("jax_enable_x64") else compute
+    hi_rows = hi[jnp.clip(codes, 0, num_bins - 1)]
+    le = (xo <= hi_rows).astype(acc)
+    lt = (xo < hi_rows).astype(acc)
+    w_oh_acc = w_oh.astype(acc)
+    dims = (((0,), (0,)), ((), ()))
+    mass_le = jax.lax.dot_general(w_oh_acc, le, dims, preferred_element_type=acc)
+    mass_lt = jax.lax.dot_general(w_oh_acc, lt, dims, preferred_element_type=acc)
+    cnt_run = jax.lax.dot_general(
+        onehot.astype(acc), le - lt, dims, preferred_element_type=acc
+    )
+    # Neighbouring member values around the v_hi run, per bin (B is small: unrolled
+    # masked reductions instead of scatter).
+    neg_inf = jnp.asarray(-jnp.inf, compute)
+    pos_inf = jnp.asarray(jnp.inf, compute)
+
+    def neighbours(b, state):
+        v_lo_all, v_next_all = state
+        in_bin = (codes == b) & (w > 0)
+        below = in_bin[:, None] & (xo < hi[b][None, :])
+        above = in_bin[:, None] & (xo > hi[b][None, :])
+        v_lo_b = jnp.max(jnp.where(below, X, neg_inf), axis=0)
+        v_next_b = jnp.min(jnp.where(above, X, pos_inf), axis=0)
+        return v_lo_all.at[b].set(v_lo_b), v_next_all.at[b].set(v_next_b)
+
+    v_lo, v_next = jax.lax.fori_loop(
+        0,
+        num_bins,
+        neighbours,
+        (jnp.full((num_bins, d), neg_inf), jnp.full((num_bins, d), pos_inf)),
+    )
+    t_acc = t.astype(acc)[:, None]
+    w_edge = (mass_le - mass_lt) / jnp.maximum(cnt_run, 1.0)
+    safe_edge = jnp.maximum(w_edge, jnp.finfo(acc).tiny)
+    has_lower = mass_lt > 0
+    has_next = (W.astype(acc)[:, None] - mass_le) > 0
+    v_hi_acc = v_hi.astype(acc)
+    # interp(t, p_upper, v): crossing interval is (mass_lt, mass_lt + w_edge] between
+    # the last member below the run and the run's first entry; beyond it → v_hi.
+    frac_u = (t_acc - mass_lt) / safe_edge
+    upper = jnp.where(
+        (~has_lower) | (frac_u >= 1.0),
+        v_hi_acc,
+        v_lo.astype(acc) + frac_u * (v_hi_acc - v_lo.astype(acc)),
+    )
+    # interp(t, p_lower, v): crossing interval is (mass_le - w_edge, mass_le] between
+    # the run's last entry and the next member above; before it → v_hi.
+    frac_l = (t_acc - (mass_le - w_edge)) / safe_edge
+    lower = jnp.where(
+        (~has_next) | (frac_l <= 0.0),
+        v_hi_acc,
+        v_hi_acc + frac_l * (v_next.astype(acc) - v_hi_acc),
+    )
+    return (0.5 * (upper + lower)).astype(X.dtype)
+
+
+@partial(jax.jit, static_argnames=("num_bins",))
 def _normalizer_stats_device(
     X_dev: jax.Array,  # (n_pad, d_pad) feature rows (padding rows/cols are zeros)
     w_dev: jax.Array,  # (n_pad,) sample weights, 0 on padding rows
     codes_dev: jax.Array,  # (n_pad,) int32 bin codes; padding rows carry code >= num_bins
-    starts: jax.Array,  # (num_bins,) start offset of each bin in the grouped order
-    counts: jax.Array,  # (num_bins,) true bin sizes (0 for padded bins)
     bin_totals: jax.Array,  # (num_bins,) total bin weights (0 for padded bins)
     *,
     num_bins: int,
-    max_bin_rows: int,
 ) -> tuple[jax.Array, jax.Array]:
     """Per-bin weighted medians/MADs and the pairwise shift/scale accumulation.
 
     Device counterpart of the host loop in :meth:`AffineNormalizer.fit` (itself
-    mirroring ref ``_affine_normalizer.py:80-114``): rows are grouped by bin with one
-    argsort of the codes, per-(bin, column) weighted medians run as one batched sort
-    instead of B·d host argsorts, and the O(B²) bin-pair accumulation is a masked
-    broadcast. ``num_bins``/``max_bin_rows`` are bucketed by the caller so nearby
-    datasets share a compilation.
+    mirroring ref ``_affine_normalizer.py:80-114``): medians come from the sort-free
+    bisection in :func:`grouped_weighted_median`, the mean absolute deviations from
+    one one-hot matmul, and the O(B²) bin-pair accumulation is a masked broadcast.
+    Only ``num_bins`` is a compile-time shape (bucketed by the caller).
     """
     eps = jnp.finfo(X_dev.dtype).eps
-    order = jnp.argsort(codes_dev, stable=True)  # rows grouped by bin, padding last
-    k = jnp.arange(max_bin_rows)
-    row_valid = k[None, :] < counts[:, None]  # (B, n_max)
-    idx = jnp.clip(starts[:, None] + k[None, :], 0, order.shape[0] - 1)
-    rows = order[idx]  # (B, n_max)
-    X_pad = X_dev[rows]  # (B, n_max, d)
-    w_pad = jnp.where(row_valid, w_dev[rows], 0.0)
-    bin_valid = counts > 0  # (B,)
-    # Weighted median per (bin, column): masked values sort to +inf with zero weight,
-    # which leaves the averaged lower/upper ECDF convention untouched for q < 1.
-    vals = jnp.where(row_valid[:, :, None], X_pad, jnp.inf)
-    med = weighted_quantile_jax(
-        jnp.moveaxis(vals, 1, 2),  # (B, d, n_max)
-        jnp.moveaxis(jnp.broadcast_to(w_pad[:, :, None], vals.shape), 1, 2),
-        jnp.asarray([0.5], X_dev.dtype),
-        axis=2,
-    )[:, :, 0]  # (B, d)
-    med = jnp.where(bin_valid[:, None], med, 0.0)  # scrub empty-bin NaNs before reuse
-    w_sum = jnp.maximum(jnp.sum(w_pad, axis=1), eps)  # (B,)
-    abs_dev = jnp.abs(jnp.where(row_valid[:, :, None], X_pad, 0.0) - med[:, None, :])
-    sigma = jnp.einsum("bn,bnd->bd", w_pad, jnp.where(row_valid[:, :, None], abs_dev, 0.0))
+    bin_valid = bin_totals > 0  # (B,)
+    med = grouped_weighted_median(X_dev, w_dev, codes_dev, num_bins)  # (B, d)
+    med = jnp.where(bin_valid[:, None], med, 0.0)  # scrub empty-bin values before reuse
+    codes_safe = jnp.clip(codes_dev, 0, num_bins - 1)
+    onehot = (
+        codes_dev[:, None] == jnp.arange(num_bins, dtype=codes_dev.dtype)[None, :]
+    ).astype(X_dev.dtype)
+    w_oh = onehot * w_dev[:, None]
+    w_sum = jnp.maximum(jnp.sum(w_oh, axis=0), eps)  # (B,)
+    abs_dev = jnp.abs(X_dev - med[codes_safe])  # (n, d)
+    sigma = jax.lax.dot_general(
+        w_oh,
+        abs_dev,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=X_dev.dtype,
+    )
     sigma = sigma / w_sum[:, None]
     # Pairwise accumulation over valid bins i < j.
     B = med.shape[0]
@@ -392,24 +506,17 @@ def _normalizer_fit_device(
     codes: npt.NDArray,
     X_device: jax.Array | None = None,
 ) -> tuple[npt.NDArray, npt.NDArray]:
-    """Stage the grouped-bin layout and run the device statistics.
+    """Stage the bin codes/weights and run the device statistics.
 
     ``X_device`` reuses an already-staged device copy of X (possibly row/column
     padded with zeros) so no second host→device transfer of the feature matrix is
-    needed; only the O(n) codes/weights ride up. Bin count and max bin size are
-    bucketed to bound recompiles.
+    needed; only the O(n) codes/weights ride up, in one batched transfer. The bin
+    count is the only compile-time shape (bucketed to a multiple of 4).
     """
     n, d = X.shape
-    counts = np.asarray([int(np.sum(m)) for m in masks], dtype=np.int32)
     bin_totals = np.asarray([np.sum(weights[m]) for m in masks], dtype=X.dtype)
     B = len(masks)
     B_pad = -(-B // 4) * 4
-    n_max_pad = min(_next_pow2(int(counts.max())), int(2 ** np.ceil(np.log2(max(n, 2)))))
-    starts = np.zeros(B_pad, dtype=np.int32)
-    starts[:B] = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int32)
-    starts[B:] = n  # past-the-end: clipped in-kernel, rows masked by count 0
-    counts_pad = np.zeros(B_pad, dtype=np.int32)
-    counts_pad[:B] = counts
     totals_pad = np.zeros(B_pad, dtype=X.dtype)
     totals_pad[:B] = bin_totals
     if X_device is None:
@@ -420,18 +527,13 @@ def _normalizer_fit_device(
     w_p = np.zeros(n_dev, dtype=X.dtype)
     w_p[:n] = weights
     # One batched transfer: per-array uploads each pay ~100 ms of tunnel latency.
-    w_d, codes_d, starts_d, counts_d, totals_d = jax.device_put(
-        (w_p, codes_p, starts, counts_pad, totals_pad)
-    )
+    w_d, codes_d, totals_d = jax.device_put((w_p, codes_p, totals_pad))
     shift, scale = _normalizer_stats_device(
         X_device,
         w_d,
         codes_d,
-        starts_d,
-        counts_d,
         totals_d,
         num_bins=B_pad,
-        max_bin_rows=n_max_pad,
     )
     shift_np, scale_np = jax.device_get((shift, scale))
     return (

@@ -171,3 +171,50 @@ def test_separator_device_hint_matches_host_end_to_end(monkeypatch) -> None:
     import pickle
 
     pickle.dumps(dev)  # no device buffers left on the fitted object
+
+
+def test_grouped_weighted_median_semantics() -> None:
+    """The sort-free grouped median reproduces weighted_quantile's averaged
+    lower/upper ECDF convention (ref _weighted_quantile.py:56-75), including the
+    reference's canonical tie example and dummy (heavily tied) columns."""
+    import jax.numpy as jnp
+
+    from neo_ls_svm_tpu.ops.affine import grouped_weighted_median
+    from neo_ls_svm_tpu.ops.weighted_quantile import weighted_quantile
+
+    # Canonical example: a=(0,1,1), w=(2,1,1) → 0.5 (not the midpoint convention).
+    X = np.array([[0.0], [1.0], [1.0]])
+    w = np.array([2.0, 1.0, 1.0])
+    codes = np.zeros(3, np.int32)
+    med = np.asarray(grouped_weighted_median(jnp.asarray(X), jnp.asarray(w), jnp.asarray(codes), 1))
+    assert med[0, 0] == 0.5
+
+    # Random continuous + dummy columns, multiple bins, uniform weights.
+    gen = np.random.RandomState(12)
+    n = 4001
+    Xc = np.column_stack(
+        [gen.randn(n), np.exp(gen.randn(n)), (gen.rand(n) < 0.3).astype(float), gen.randn(n) * 1e-3]
+    )
+    codes = gen.randint(0, 3, n).astype(np.int32)
+    w = np.ones(n)
+    med = np.asarray(grouped_weighted_median(jnp.asarray(Xc), jnp.asarray(w), jnp.asarray(codes), 3))
+    for b in range(3):
+        m = codes == b
+        expected = weighted_quantile(Xc[m], np.broadcast_to(w[m][:, None], Xc[m].shape), 0.5, axis=0)
+        np.testing.assert_allclose(med[b], np.ravel(expected), rtol=1e-12, atol=1e-15)
+
+    # Non-uniform weights on untied continuous data.
+    w2 = gen.rand(n) + 0.1
+    med2 = np.asarray(grouped_weighted_median(jnp.asarray(Xc[:, :2]), jnp.asarray(w2), jnp.asarray(codes), 3))
+    for b in range(3):
+        m = codes == b
+        expected = weighted_quantile(Xc[m, :2], np.broadcast_to(w2[m][:, None], (m.sum(), 2)), 0.5, axis=0)
+        np.testing.assert_allclose(med2[b], np.ravel(expected), rtol=1e-12, atol=1e-15)
+
+    # Zero-weight rows are excluded; out-of-range codes are excluded.
+    w3 = np.ones(n); w3[Xc[:, 0] > 0] = 0.0
+    med3 = np.asarray(grouped_weighted_median(jnp.asarray(Xc[:, :1]), jnp.asarray(w3), jnp.asarray(codes), 3))
+    for b in range(3):
+        m = (codes == b) & (w3 > 0)
+        expected = weighted_quantile(Xc[m, :1], np.ones((m.sum(), 1)), 0.5, axis=0)
+        np.testing.assert_allclose(med3[b], np.ravel(expected), rtol=1e-12)
