@@ -137,39 +137,45 @@ def pallas_value_check(n: int = 32768, d: int = 32) -> str:
     from neo_ls_svm_tpu.models.primal import gamma_grid, primal_fit_streaming
     from neo_ls_svm_tpu.ops.orff import OrthogonalRandomFourierFeatures
 
-    X, y = make_dataset(n, d, seed=7)
-    s = np.ones_like(y)
-    fm = OrthogonalRandomFourierFeatures().fit(X, y, s)
-    M_map, b_map = fm.linear_map()
-    g = gamma_grid(np.float32)
-    X_d = jax.device_put(X)
-    M_d, b_d, y_d, s_d, g_d = jax.device_put(
-        (M_map.astype(np.float32), b_map.astype(np.float32), y, s, g)
-    )
-    out = {}
-    for name, kw in (("xla", {}), ("pallas", {"use_pallas_gram": True, "use_pallas_sweep": True})):
-        r = primal_fit_streaming(
-            X_d, M_d, b_d, y_d, s_d, g_d, is_classifier=False, row_chunk=8192, **kw
+    X, y_reg = make_dataset(n, d, seed=7)
+    y_clf = np.where(y_reg > np.median(y_reg), 1.0, -1.0).astype(np.float32)
+    for is_classifier, y in ((False, y_reg), (True, y_clf)):
+        s = np.ones_like(y)
+        fm = OrthogonalRandomFourierFeatures().fit(X, y, s)
+        M_map, b_map = fm.linear_map()
+        g = gamma_grid(np.float32)
+        X_d = jax.device_put(X)
+        M_d, b_d, y_d, s_d, g_d = jax.device_put(
+            (M_map.astype(np.float32), b_map.astype(np.float32), y, s, g)
         )
-        out[name] = jax.device_get(
-            {k: r[k] for k in ("gamma", "loo_residuals", "loo_errors_gammas", "loo_score")}
+        out = {}
+        for name, kw in (
+            ("xla", {}),
+            ("pallas", {"use_pallas_gram": True, "use_pallas_sweep": True}),
+        ):
+            r = primal_fit_streaming(
+                X_d, M_d, b_d, y_d, s_d, g_d,
+                is_classifier=is_classifier, row_chunk=8192, **kw,
+            )
+            out[name] = jax.device_get(
+                {k: r[k] for k in ("gamma", "loo_residuals", "loo_errors_gammas", "loo_score")}
+            )
+        xla, pallas = out["xla"], out["pallas"]
+        idx = int(np.argmin(np.abs(gamma_grid(np.float32) - pallas["gamma"])))
+        gamma_near_optimal = xla["loo_errors_gammas"][idx] <= xla["loo_errors_gammas"].min() * (
+            1 + 1e-3
         )
-    xla, pallas = out["xla"], out["pallas"]
-    idx = int(np.argmin(np.abs(gamma_grid(np.float32) - pallas["gamma"])))
-    gamma_near_optimal = xla["loo_errors_gammas"][idx] <= xla["loo_errors_gammas"].min() * (
-        1 + 1e-3
-    )
-    resid_scale = float(np.std(xla["loo_residuals"]))
-    resid_ok = float(np.max(np.abs(pallas["loo_residuals"] - xla["loo_residuals"]))) < max(
-        1e-3 * resid_scale, 1e-6
-    )
-    score_ok = abs(float(pallas["loo_score"]) - float(xla["loo_score"])) < 1e-3
-    if gamma_near_optimal and resid_ok and score_ok:
-        return "ok"
-    return (
-        f"FAIL gamma_near_optimal={bool(gamma_near_optimal)} resid_ok={resid_ok} "
-        f"score_ok={score_ok}"
-    )
+        resid_scale = float(np.std(xla["loo_residuals"]))
+        resid_ok = float(np.max(np.abs(pallas["loo_residuals"] - xla["loo_residuals"]))) < max(
+            1e-3 * resid_scale, 1e-6
+        )
+        score_ok = abs(float(pallas["loo_score"]) - float(xla["loo_score"])) < 1e-3
+        if not (gamma_near_optimal and resid_ok and score_ok):
+            return (
+                f"FAIL clf={is_classifier} gamma_near_optimal={bool(gamma_near_optimal)} "
+                f"resid_ok={resid_ok} score_ok={score_ok}"
+            )
+    return "ok"
 
 
 def main() -> None:
