@@ -1,6 +1,7 @@
 """Property-based invariants for the statistics layer (hypothesis)."""
 
 import numpy as np
+import pytest
 from hypothesis import given, settings, strategies as st
 
 from neo_ls_svm_tpu.ops.quantizer import Quantizer, hist_quantized_ecdf
@@ -48,3 +49,47 @@ def test_quantizer_transform_in_range(values) -> None:
     codes = q.transform(np.concatenate([x, [[1e9], [-1e9]]]))
     assert codes.min() >= 0
     assert codes.max() <= len(q.X_bin_edges_[0]) - 2
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(finite_floats, min_size=30, max_size=300),
+    st.integers(min_value=1, max_value=4),
+    st.booleans(),
+    st.booleans(),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_grouped_weighted_median_matches_weighted_quantile(
+    values, num_bins, uniform_w, quantize, seed
+) -> None:
+    """The sort-free bisection median equals the host averaged-ECDF weighted median
+    for every bin, over random regimes including heavy value ties (quantize=True)."""
+    import jax.numpy as jnp
+
+    from neo_ls_svm_tpu.ops.affine import grouped_weighted_median
+
+    a = np.asarray(values, dtype=np.float64)
+    if quantize:
+        a = np.round(a / max(np.std(a), 1e-6))  # force massive ties
+    gen = np.random.RandomState(seed)
+    codes = gen.randint(0, num_bins, len(a)).astype(np.int32)
+    # Ties with non-uniform weights have an unspecified tie order in every path
+    # (host argsort vs bisection run-averaging); use uniform weights whenever the
+    # data contains any duplicate value so the comparison is well-defined.
+    has_ties = len(np.unique(a)) != len(a)
+    w = (
+        np.ones(len(a))
+        if (uniform_w or quantize or has_ties)
+        else gen.rand(len(a)) + 0.05
+    )
+    med = np.asarray(
+        grouped_weighted_median(
+            jnp.asarray(a[:, None]), jnp.asarray(w), jnp.asarray(codes), num_bins
+        )
+    )
+    for b in range(num_bins):
+        m = codes == b
+        if not np.any(m):
+            continue
+        expected = float(weighted_quantile(a[m], w[m], 0.5, axis=None)[0])
+        assert med[b, 0] == pytest.approx(expected, rel=1e-9, abs=1e-9)
