@@ -193,8 +193,23 @@ def main() -> None:
     print(f"[bench] dataset n={n} d={args.d} dtype={X.dtype}", file=sys.stderr)
 
     ours_s, model, phases = run_ours(X, y)
+    # Device-phase throughput estimate: dominant fit flops (augmented Gram, eigenbasis
+    # projection, the two G-wide resolvent contractions, pass-3 stats, eigh) over the
+    # post-host-prep wall (includes dispatch + the completion round-trip, so this is a
+    # lower bound on raw kernel throughput).
+    D, G = 512, 1024
+    M2 = 2 * (D + 1)
+    fit_flops = (
+        2 * n * (M2 + 1) ** 2  # augmented Gram
+        + 2 * 2 * n * M2 * M2  # Gu projections (sweep + pass 3)
+        + 2 * 2 * n * M2 * G  # num/lev resolvent contractions
+        + 10 * M2**3  # eigh (order-of-magnitude)
+    )
+    solve_tail = max(phases.get("solve_tail_s", ours_s), 1e-9)
+    device_tflops = fit_flops / solve_tail / 1e12
     print(
-        f"[bench] ours fit: {ours_s:.3f}s (loo R2 {model.loo_score_:.4f}) phases={phases}",
+        f"[bench] ours fit: {ours_s:.3f}s (loo R2 {model.loo_score_:.4f}) phases={phases} "
+        f"device-phase ≈ {device_tflops:.1f} TFLOP/s effective",
         file=sys.stderr,
     )
     check = pallas_value_check()
@@ -219,6 +234,7 @@ def main() -> None:
                 "unit": "s",
                 "vs_baseline": round(speedup, 2) if speedup else None,
                 "phases": phases,
+                "device_tflops_est": round(device_tflops, 2),
                 "pallas_value_check": check,
             }
         )
