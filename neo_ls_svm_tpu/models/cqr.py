@@ -268,9 +268,11 @@ def coherent_linear_quantile_regression_batched(
     """Fit T coherent quantile regressions sharing one design matrix in a single
     vmapped Newton solve (the smooth/scale path).
 
-    ``Y`` has shape (T, n) — e.g. the conformal stack's absolute and relative
-    nonconformity targets batched into one device solve instead of two sequential
-    fits. Returns (β, β_full) of shapes (T, F, |quantiles|) and (T, F, Q_full).
+    ``Y`` has shape (T, n). This is the public multi-target batch API for problems
+    large enough to route to the jitted Newton solver; the estimator's conformal
+    stack does NOT use it — its problems are tiny (n ≤ 1440) and take the exact-LP
+    path, where the two HiGHS solves run sequentially on host.
+    Returns (β, β_full) of shapes (T, F, |quantiles|) and (T, F, Q_full).
     """
     Y = np.atleast_2d(np.asarray(Y))
     num_samples, num_features = X.shape

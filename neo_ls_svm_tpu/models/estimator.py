@@ -157,6 +157,32 @@ class NeoLSSVM(BaseEstimator):
 
     # ------------------------------------------------------------------ fitting
 
+    def _clear_fit_state(self) -> None:
+        """Drop every attribute a previous fit may have left behind.
+
+        Refitting must not serve stale results: the lazy observability attributes are
+        only pulled from ``_pending_result`` when *absent* from ``__dict__``, so any
+        copy left by an earlier fit would permanently shadow the new fit's values, and
+        route-conditional attributes (``classes_``, the dual path's ``X_``) would leak
+        across task types / routes.
+        """
+        for name in _LAZY_RESULT_ATTRS:
+            self.__dict__.pop(name, None)
+        for name in (
+            "_pending_result",
+            "_pending_ctx",
+            "_device_cache",
+            "classes_",
+            "X_",
+            "γ_",
+            "primal_feature_map_",
+            "dual_feature_map_",
+            "_M_map",
+            "_b_map",
+            "_inv_c0",
+        ):
+            self.__dict__.pop(name, None)
+
     def fit(
         self,
         X: Any,
@@ -177,6 +203,7 @@ class NeoLSSVM(BaseEstimator):
         if np.sum(sample_weight_) <= 0:
             msg = "The sample weights are all zero; at least one weight must be positive."
             raise ValueError(msg)
+        self._clear_fit_state()
         # Infer the task type from the target (two classes → classifier; numeric or
         # datetime-like → regressor; ref :347-373).
         unique_y = np.unique(y)
@@ -247,16 +274,24 @@ class NeoLSSVM(BaseEstimator):
                 X_p = np.pad(X, ((0, row_pad), (0, col_pad)))
                 X_dev = jax.device_put(X_p)
             # Let the supervised pre-transform reuse the device copy of X staged above:
-            # its per-bin statistics then run on the TPU (one batched sort) instead of
-            # B·d host argsorts, with only O(n) codes/weights crossing the tunnel.
+            # its per-bin statistics then run on the TPU (sort-free bisection medians +
+            # one-hot-matmul masses) instead of B·d host argsorts, with only O(n)
+            # codes/weights crossing the tunnel. The mesh route stages X *sharded*
+            # inside the sharded fit, so its stats stay on host — the normalizer must
+            # not duplicate the whole matrix onto one chip.
             affine = getattr(self.primal_feature_map_, "affine_feature_map", None)
-            if X_dev is not None and affine is not None:
-                affine._device_X_hint = X_dev
+            if affine is not None:
+                if X_dev is not None:
+                    affine._device_X_hint = X_dev
+                elif route == "mesh":
+                    affine._stats_host_only = True
             try:
                 self.primal_feature_map_.fit(X, y_, sample_weight_)
             finally:
-                if affine is not None and hasattr(affine, "_device_X_hint"):
-                    del affine._device_X_hint
+                if affine is not None:
+                    for hint in ("_device_X_hint", "_stats_host_only"):
+                        if hasattr(affine, hint):
+                            delattr(affine, hint)
             M_map, b_map = self.primal_feature_map_.linear_map()
             self.γs_ = gamma_grid(X.dtype, num=1024)
             # Surface-complexity regulariser. The shipped complexity matrix is the
@@ -440,11 +475,15 @@ class NeoLSSVM(BaseEstimator):
         """Pull the device-resident fit result to the host and populate the
         observability API (the reference's fitted attributes, ref :146-187,295-311),
         the isotonic calibrator, and the two-level conformal split."""
-        pending = self.__dict__.pop("_pending_result", None)
+        pending = self.__dict__.get("_pending_result")
         if pending is None:
             return
-        ctx = self.__dict__.pop("_pending_ctx")
+        ctx = self._pending_ctx
+        # Pull BEFORE dropping the handles: on a flaky transport (the tunneled axon
+        # backend) a failed device_get must stay retryable, not discard the fit.
         result = jax.device_get(pending)
+        del self.__dict__["_pending_result"]
+        del self.__dict__["_pending_ctx"]
         self.γ_ = float(result["gamma"])
         y_ = ctx["y_"]
         sample_weight_ = ctx["sample_weight"]

@@ -234,7 +234,12 @@ class AffineNormalizer(AffineFeatureMap):
             super().fit(X, y, weights)
             return self
         device_hint = getattr(self, "_device_X_hint", None)
-        use_device = X.shape[0] >= _device_stats_threshold(hinted=device_hint is not None)
+        # _stats_host_only: set by callers that manage device placement themselves
+        # (e.g. the estimator's mesh route stages X *sharded*; uploading the full
+        # matrix to one chip here would duplicate the transfer and the memory).
+        use_device = not getattr(self, "_stats_host_only", False) and X.shape[
+            0
+        ] >= _device_stats_threshold(hinted=device_hint is not None)
         if use_device:
             self.shift_, self.scale_ = _normalizer_fit_device(
                 X, bins, weights, codes, X_device=device_hint

@@ -76,7 +76,19 @@ def make_multihost_mesh(
         from jax.experimental import mesh_utils
 
         num_slices = len(slice_ids)
+        if len(devices) % num_slices:
+            msg = (
+                f"{len(devices)} devices spread unevenly over {num_slices} pod slices; "
+                "pass an explicit `devices` list with the same number of chips per slice."
+            )
+            raise ValueError(msg)
         per_slice = len(devices) // num_slices
+        if per_slice % num_feature:
+            msg = (
+                f"per-slice device count {per_slice} is not divisible by "
+                f"num_feature={num_feature}; choose a feature-axis size that divides it."
+            )
+            raise ValueError(msg)
         grid = mesh_utils.create_hybrid_device_mesh(
             mesh_shape=(per_slice // num_feature, num_feature),
             dcn_mesh_shape=(num_slices, 1),

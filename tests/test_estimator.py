@@ -345,3 +345,71 @@ def test_fast_precision_in_memory_accuracy_floor() -> None:
     fast = NeoLSSVM(precision="fast").fit(X32, y32)
     assert abs(fast.loo_score_ - high.loo_score_) < 0.005
     assert _gamma_near_optimal(fast, high)
+
+
+def test_refit_replaces_fitted_state(monkeypatch) -> None:
+    """Refitting must serve the NEW fit's results even when the first fit's lazy
+    attributes were already materialised into __dict__ (they would otherwise shadow
+    the second fit's pending device result forever)."""
+    import neo_ls_svm_tpu.models.estimator as est_mod
+
+    monkeypatch.setattr(est_mod, "LAZY_MATERIALIZE_MIN_ROWS", 1)  # refit takes lazy route
+    X1, y1 = make_regression_dataset(n=1600, seed=11)
+    X2, y2 = make_regression_dataset(n=1600, seed=47)
+    model = NeoLSSVM()
+    model.fit(X1, y1)
+    score_1 = model.loo_score_  # materialises fit #1 into __dict__
+    resid_1 = np.array(model.loo_residuals_)
+    model.fit(X2, y2)
+    fresh = NeoLSSVM().fit(X2, y2)
+    assert model.loo_score_ == pytest.approx(fresh.loo_score_)
+    np.testing.assert_allclose(model.loo_residuals_, fresh.loo_residuals_, rtol=1e-12)
+    assert model.γ_ == pytest.approx(fresh.γ_)
+    assert not np.allclose(model.loo_residuals_, resid_1)
+    del score_1
+    np.testing.assert_allclose(model.predict(X2[:64]), fresh.predict(X2[:64]), rtol=1e-12)
+
+
+def test_refit_classifier_to_regressor_drops_classes() -> None:
+    """Task-type switches across refits must not leak classifier state."""
+    Xc, yc = make_classification_dataset(n=700, seed=5)
+    Xr, yr = make_regression_dataset(n=700, seed=5)
+    model = NeoLSSVM()
+    model.fit(Xc, yc)
+    assert hasattr(model, "classes_")
+    model.fit(Xr, yr)
+    assert not hasattr(model, "classes_")
+    assert model._estimator_type == "regressor"
+    # And primal -> dual route switches drop the other route's attributes.
+    X_big, y_big = make_regression_dataset(n=1600, seed=6)
+    model.fit(X_big, y_big)  # primal
+    assert model.primal_ and not hasattr(model, "X_")
+    model.fit(Xr, yr)  # dual
+    assert model.dual_ and not hasattr(model, "beta_emb_")
+
+
+def test_materialize_survives_transient_transfer_failure(monkeypatch) -> None:
+    """A failed device→host pull must keep the pending result retryable."""
+    import jax
+
+    import neo_ls_svm_tpu.models.estimator as est_mod
+
+    monkeypatch.setattr(est_mod, "LAZY_MATERIALIZE_MIN_ROWS", 1)
+    X, y = make_regression_dataset(n=1600, seed=13)
+    model = NeoLSSVM().fit(X, y)
+    assert "_pending_result" in model.__dict__
+    real_device_get = jax.device_get
+    calls = {"n": 0}
+
+    def flaky_device_get(tree):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            msg = "transient tunnel failure"
+            raise RuntimeError(msg)
+        return real_device_get(tree)
+
+    monkeypatch.setattr(est_mod.jax, "device_get", flaky_device_get)
+    with pytest.raises(RuntimeError, match="transient tunnel failure"):
+        _ = model.loo_score_
+    # The handles were not discarded: the retry succeeds and serves the fit.
+    assert model.loo_score_ == pytest.approx(NeoLSSVM().fit(X, y).loo_score_)

@@ -136,3 +136,25 @@ def test_estimator_mesh_fit_matches_single_device() -> None:
     np.testing.assert_allclose(
         sharded.predict(X[:100]), single.predict(X[:100]), rtol=1e-7
     )
+
+
+def test_mesh_route_keeps_normalizer_stats_on_host(monkeypatch) -> None:
+    """The mesh route stages X sharded inside the sharded fit; the normalizer must not
+    duplicate the full matrix onto one chip for its statistics."""
+    import neo_ls_svm_tpu.ops.affine as affine_mod
+    from neo_ls_svm_tpu import NeoLSSVM
+
+    monkeypatch.setattr(affine_mod, "DEVICE_STATS_MIN_ROWS", 1)  # would trigger unhinted
+    calls = {"n": 0}
+    real = affine_mod._normalizer_fit_device
+
+    def counting(*args, **kwargs):
+        calls["n"] += 1
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(affine_mod, "_normalizer_fit_device", counting)
+    X, y = make_regression_dataset(n=1500, seed=44)
+    mesh = make_mesh(num_data=8, num_feature=1)
+    model = NeoLSSVM(mesh=mesh).fit(X, y)
+    assert calls["n"] == 0, "mesh fits must take the host statistics path"
+    assert model.loo_score_ > 0.5
