@@ -299,22 +299,35 @@ def _bin_by_target(
 # (summation order), so parity tests and small fits always take the host path.
 DEVICE_STATS_MIN_ROWS = 1_000_000
 DEVICE_STATS_HINTED_MIN_ROWS = 65_536
-# On the tunneled `axon` platform every transfer pays ~100 ms latency at ~50 MB/s, so a
-# hinted device-stats run *stalls on the in-flight X upload* instead of overlapping the
-# host argsorts with it. With the sort-free bisection statistics (~0.1-0.3 s on device)
-# the crossover sits around 200k rows (262k measured: device 1.03 s vs host 1.13 s
-# total fit); below that the host argsorts are cheaper than the stall.
-DEVICE_STATS_HINTED_MIN_ROWS_TUNNELED = 200_000
+# The tunneled `axon` platform's round-trip latency swings minute to minute (measured
+# this repo: 0.06 s to 1.5 s for the same small pull, with rare multi-minute hangs), and
+# the device-stats path adds two round-trips (codes/weights up, shift/scale down) on
+# the fit's critical path. At 262k rows the stable host argsorts (~0.45 s) beat the
+# device path's bad tail (+1.5 s on a degraded tunnel) even though a healthy tunnel
+# makes the two paths tie — so the tunneled threshold stays high: only engage where
+# the host argsorts themselves cost multiple seconds (≥ 500k rows) and the device
+# compute (~0.1-0.3 s, n-linear) wins under any observed tunnel latency.
+DEVICE_STATS_HINTED_MIN_ROWS_TUNNELED = 500_000
+
+
+def _is_tunneled_backend() -> bool:
+    """True when the default device is reached through the remote `axon` tunnel.
+
+    The tunnel registers its devices with ``platform == "tpu"`` (so feature gates like
+    Pallas still see a TPU); the tunnel itself is only visible in the PJRT client's
+    ``platform_version`` string.
+    """
+    try:
+        client = jax.devices()[0].client
+    except Exception:  # pragma: no cover - no backend at all
+        return False
+    return "axon" in getattr(client, "platform_version", "")
 
 
 def _device_stats_threshold(hinted: bool) -> float:
     if not hinted:
         return DEVICE_STATS_MIN_ROWS
-    try:
-        platform = jax.devices()[0].platform
-    except Exception:  # pragma: no cover - no backend at all
-        return DEVICE_STATS_HINTED_MIN_ROWS
-    if platform == "axon":
+    if _is_tunneled_backend():
         return DEVICE_STATS_HINTED_MIN_ROWS_TUNNELED
     return DEVICE_STATS_HINTED_MIN_ROWS
 
