@@ -539,6 +539,12 @@ def _normalizer_fit_device(
     totals_pad[:B] = bin_totals
     if X_device is None:
         X_device = jnp.asarray(X)
+    elif _is_tunneled_backend():
+        # Barrier on the in-flight X upload before issuing the stats round-trip: on
+        # the tunneled backend a device_get that transitively depends on a large
+        # in-flight upload blocks for multiple seconds (stream multiplexing), while a
+        # control-plane wait on the upload itself is ~0.1 s.
+        X_device.block_until_ready()
     n_dev = X_device.shape[0]
     codes_p = np.full(n_dev, B_pad, dtype=np.int32)
     codes_p[:n] = codes
