@@ -88,10 +88,25 @@ class IsotonicCalibrator(RegressorMixin, BaseEstimator):
         return self
 
     def transform(self, X: npt.NDArray[np.floating]) -> npt.NDArray[np.floating]:
-        """Interpolate the calibrated values (clipping out-of-range inputs)."""
+        """Interpolate the calibrated values, honouring ``out_of_bounds`` like
+        sklearn's ``IsotonicRegression``: "clip" clamps to the end values, "nan"
+        returns NaN outside the training domain, "raise" raises ValueError."""
         check_is_fitted(self, ["X_thresholds_"])
         x = np.ravel(np.asarray(X, dtype=np.float64))
+        if self.out_of_bounds not in ("clip", "nan", "raise"):
+            msg = (
+                f"The argument ``out_of_bounds`` must be in 'nan', 'clip', 'raise'; "
+                f"got {self.out_of_bounds!r}"
+            )
+            raise ValueError(msg)
+        outside = (x < self.X_min_) | (x > self.X_max_)
+        if self.out_of_bounds == "raise" and np.any(outside):
+            msg = "A value in x_new is below the interpolation range's minimum or above its maximum."
+            raise ValueError(msg)
         # np.interp clamps to the end values, which is exactly out_of_bounds="clip".
-        return np.interp(x, self.X_thresholds_, self.y_thresholds_)
+        out = np.interp(x, self.X_thresholds_, self.y_thresholds_)
+        if self.out_of_bounds == "nan":
+            out = np.where(outside, np.nan, out)
+        return out
 
     predict = transform

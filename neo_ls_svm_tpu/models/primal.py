@@ -62,18 +62,38 @@ def _features_real_pair(
     return jnp.concatenate([jnp.cos(U) * inv_sqrt_D, ones, jnp.sin(U) * inv_sqrt_D, zeros], axis=1)
 
 
-def _embedding_gram(W: jax.Array, s2: jax.Array, *, precision: jax.lax.Precision) -> jax.Array:
-    """E(φᴴS²φ) from one matmul: blocks of WᵀS²W recombined into the real embedding."""
-    M2 = W.shape[1]
-    M = M2 // 2
-    G = jnp.dot(W.T * s2[None, :], W, precision=precision)
+def embed_from_gram_blocks(G: jax.Array, M: int) -> jax.Array:
+    """Recombine the blocks of a WᵀS²W Gram into the symmetrised real embedding.
+
+    φ = P - i·N  ⇒  A = φᴴS²φ has  Re A = PᵀS²P + NᵀS²N,  Im A = PᵀS²N - NᵀS²P,
+    and E(A) = [[Re A, -Im A], [Im A, Re A]]. This sign-sensitive recombination is
+    shared by the in-memory, streaming, and sharded-streaming solvers.
+    """
     PP, PN = G[:M, :M], G[:M, M:]
     NP, NN = G[M:, :M], G[M:, M:]
-    # φ = P - i·N  ⇒  A = φᴴS²φ has  Re A = PᵀS²P + NᵀS²N,  Im A = PᵀS²N - NᵀS²P.
     Ar = PP + NN
     Ai = PN - NP
     B = jnp.block([[Ar, -Ai], [Ai, Ar]])
     return (B + B.T) / 2
+
+
+def _embedding_gram(W: jax.Array, s2: jax.Array, *, precision: jax.lax.Precision) -> jax.Array:
+    """E(φᴴS²φ) from one matmul: blocks of WᵀS²W recombined into the real embedding."""
+    M2 = W.shape[1]
+    G = jnp.dot(W.T * s2[None, :], W, precision=precision)
+    return embed_from_gram_blocks(G, M2 // 2)
+
+
+def _inv_c0_scale(n: "jax.Array | int", M: int, dtype: Any) -> jax.Array:
+    """1/c₀ = n·M, computed in floating point.
+
+    ``n`` may be a traced scalar (padded callers pass the true row count as a jit
+    argument); multiplying as integers would wrap int32 once n·M exceeds 2³¹
+    (n ≈ 4.2M rows at M = 513), so cast to the float dtype BEFORE the multiply.
+    """
+    if isinstance(n, jax.Array):
+        return n.astype(dtype) * jnp.asarray(M, dtype)
+    return jnp.asarray(float(n) * M, dtype)
 
 
 def _clip_classifier_residuals(e: jax.Array, y: jax.Array, is_classifier: bool) -> jax.Array:
@@ -176,7 +196,7 @@ def primal_fit(
     M = M2 // 2
     # c₀: the normalised complexity matrix is c₀·I with c₀ = 1/(n·M) (ref :117-118 with
     # the shipped identity complexity matrix; φ.size = n·M).
-    inv_c0 = jnp.asarray(n * M, dtype) if not isinstance(n, jax.Array) else (n * M).astype(dtype)
+    inv_c0 = _inv_c0_scale(n, M, dtype)
     inv_c0_id = inv_c0  # Identity-C resolvent scale, kept for the re-solve below.
     with jax.named_scope("gram"):
         B = _embedding_gram(W, s2, precision=precision)
@@ -203,11 +223,20 @@ def primal_fit(
         e = _clip_classifier_residuals(e, y, is_classifier)
         return _sweep_objective(e, s, is_classifier)
 
-    g_chunks = gammas.reshape(-1, gamma_chunk)
+    # Pad the grid to a chunk multiple by repeating the last γ (argmin-invariant:
+    # jnp.argmin returns the FIRST minimum, and the pads are trimmed before it runs).
+    num_gammas = gammas.shape[0]
+    gamma_pad = (-num_gammas) % gamma_chunk
+    gammas_p = (
+        jnp.concatenate([gammas, jnp.broadcast_to(gammas[-1:], (gamma_pad,))])
+        if gamma_pad
+        else gammas
+    )
+    g_chunks = gammas_p.reshape(-1, gamma_chunk)
     with jax.named_scope("gamma_sweep"):
         loo_err_chunks, obj_chunks = jax.lax.map(sweep_chunk, g_chunks)
-    loo_errors_gs = loo_err_chunks.reshape(-1)
-    objective = obj_chunks.reshape(-1)
+    loo_errors_gs = loo_err_chunks.reshape(-1)[:num_gammas]
+    objective = obj_chunks.reshape(-1)[:num_gammas]
     optimum = jnp.argmin(objective)
     gamma_opt = gammas[optimum]
 
@@ -388,14 +417,9 @@ def primal_fit_streaming(
             )
         G = G_aug[:M2, :M2]
         b_vec = G_aug[:M2, M2]  # Wᵀ S² y
-    PP, PN = G[:M, :M], G[:M, M:]
-    NP, NN = G[M:, :M], G[M:, M:]
-    Ar = PP + NN
-    Ai = PN - NP
-    B = jnp.block([[Ar, -Ai], [Ai, Ar]])
-    B = (B + B.T) / 2
+    B = embed_from_gram_blocks(G, M)
 
-    inv_c0 = jnp.asarray(n * M, dtype) if not isinstance(n, jax.Array) else (n * M).astype(dtype)
+    inv_c0 = _inv_c0_scale(n, M, dtype)
     inv_c0_id = inv_c0  # Identity-C resolvent scale, kept for the re-solve below.
     lam, Qs, inv_c0 = _eigendecompose(B, C_emb, inv_c0, sign)
     k = jnp.dot(Qs.T, b_vec, precision=precision)

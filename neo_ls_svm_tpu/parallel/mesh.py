@@ -29,6 +29,7 @@ from neo_ls_svm_tpu.models.primal import (
     _eigendecompose,
     _features_real_pair,
     _sweep_objective,
+    embed_from_gram_blocks,
     primal_fit,
     trim_per_row,
 )
@@ -109,6 +110,14 @@ def sharded_primal_fit(
 def required_padding(n: int, num_data: int) -> int:
     """Rows of zero-weight padding needed to align ``n`` to the data axis."""
     return (math.ceil(n / num_data) * num_data) - n
+
+
+# Compiled sharded-streaming fits, keyed on everything the closure bakes in. Without
+# this, every call would wrap a fresh `body` closure in jax.jit and retrace/recompile
+# the whole sharded program (tens of seconds on a cold TPU); with it, repeated fits on
+# the same mesh/shape/config hit jax's executable cache like the in-memory path does.
+_STREAMING_FIT_CACHE: dict[Any, Any] = {}
+_STREAMING_FIT_CACHE_MAX = 16
 
 
 def _shard_map(fn: Any, mesh: Mesh, in_specs: Any, out_specs: Any) -> Any:
@@ -197,10 +206,7 @@ def sharded_primal_fit_streaming(
         G_aug = jax.lax.psum(G_aug_local, "data")
         G = G_aug[:M2, :M2]
         b_vec = G_aug[:M2, M2]
-        PP, PN = G[:M, :M], G[:M, M:]
-        NP, NN = G[M:, :M], G[M:, M:]
-        B = jnp.block([[PP + NN, -(PN - NP)], [PN - NP, PP + NN]])
-        B = (B + B.T) / 2
+        B = embed_from_gram_blocks(G, M)
         lam, Qs, inv_c0 = _eigendecompose(
             B, C_d, jnp.asarray(inv_c0_in, dtype), sign
         )
@@ -303,7 +309,26 @@ def sharded_primal_fit_streaming(
         "residuals": row_spec,
     }
     in_specs = (P("data", None), rep, rep, row_spec, row_spec, rep)
-    fit_fn = jax.jit(_shard_map(body, mesh, in_specs, out_specs))
+    c_fingerprint = (
+        None if C_emb is None else (np.asarray(C_emb).shape, hash(np.asarray(C_emb).tobytes()))
+    )
+    cache_key = (
+        mesh,
+        np.dtype(dtype).str,
+        D,
+        row_chunk,
+        is_classifier,
+        precision,
+        sweep_precision,
+        inv_c0_in,
+        c_fingerprint,
+    )
+    fit_fn = _STREAMING_FIT_CACHE.get(cache_key)
+    if fit_fn is None:
+        if len(_STREAMING_FIT_CACHE) >= _STREAMING_FIT_CACHE_MAX:
+            _STREAMING_FIT_CACHE.pop(next(iter(_STREAMING_FIT_CACHE)))
+        fit_fn = jax.jit(_shard_map(body, mesh, in_specs, out_specs))
+        _STREAMING_FIT_CACHE[cache_key] = fit_fn
     result = fit_fn(
         jax.device_put(X_p, NamedSharding(mesh, P("data", None))),
         jnp.asarray(np.asarray(M_map)),

@@ -27,3 +27,5 @@ def test_bench_smoke_json_line() -> None:
     assert payload["value"] > 0
     assert payload["pallas_value_check"] == "skipped"  # forced-CPU run
     assert payload["phases"]["host_prep_s"] > 0
+    assert payload["phases"]["predict_s"] > 0  # serving-path metric
+    assert payload["phases"]["predict_rows_per_s"] > 0

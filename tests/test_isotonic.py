@@ -30,3 +30,24 @@ def test_matches_sklearn(seed, weighted) -> None:
     theirs.fit(x, y, sample_weight=w)
     x_new = np.concatenate([gen.randn(300), [-10, 10]])  # incl. out-of-range probes
     np.testing.assert_allclose(ours.transform(x_new), theirs.transform(x_new), atol=1e-12)
+
+
+def test_out_of_bounds_semantics() -> None:
+    """transform must honour out_of_bounds like sklearn's IsotonicRegression."""
+    import pytest
+
+    X = np.array([1.0, 2.0, 3.0, 4.0])
+    y = np.array([0.1, 0.4, 0.3, 0.9])
+    clip = IsotonicCalibrator(out_of_bounds="clip").fit(X, y)
+    lo, hi = clip.transform([0.0])[0], clip.transform([9.0])[0]
+    assert lo == clip.transform([1.0])[0] and hi == clip.transform([4.0])[0]
+    nan = IsotonicCalibrator(out_of_bounds="nan").fit(X, y)
+    out = nan.transform([0.0, 2.5, 9.0])
+    assert np.isnan(out[0]) and np.isnan(out[2]) and np.isfinite(out[1])
+    raise_ = IsotonicCalibrator(out_of_bounds="raise").fit(X, y)
+    np.testing.assert_allclose(raise_.transform([2.5]), nan.transform([2.5]))
+    with pytest.raises(ValueError, match="interpolation range"):
+        raise_.transform([0.0])
+    bogus = IsotonicCalibrator(out_of_bounds="bogus").fit(X, y)
+    with pytest.raises(ValueError, match="out_of_bounds"):
+        bogus.transform([2.0])

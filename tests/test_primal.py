@@ -159,3 +159,51 @@ def test_primal_general_complexity_matrix_matches_reference() -> None:
         )
     )
     np.testing.assert_allclose(ours_decision, ref_decision, rtol=1e-6, atol=1e-10)
+
+
+def test_gamma_grid_any_length() -> None:
+    """primal_fit must accept grids that are not a multiple of gamma_chunk (the
+    public gamma_grid helper invites arbitrary num)."""
+    import jax.numpy as jnp
+
+    from .conftest import make_regression_dataset
+
+    X, y = make_regression_dataset(n=600, seed=9)
+    s = np.ones_like(y)
+    fmap = OrthogonalRandomFourierFeatures(num_features=32).fit(X, y, s)
+    M_map, b_map = fmap.linear_map()
+    full = gamma_grid(np.float64, num=1000)  # 1000 % 128 != 0
+    res = primal_fit(
+        jnp.asarray(X), jnp.asarray(M_map), jnp.asarray(b_map),
+        jnp.asarray(y), jnp.asarray(s), jnp.asarray(full), is_classifier=False,
+    )
+    assert res["loo_errors_gammas"].shape == (1000,)
+    # The selected gamma must be the argmin of the returned objective curve on the
+    # requested grid (no padding artifacts).
+    aligned = primal_fit(
+        jnp.asarray(X), jnp.asarray(M_map), jnp.asarray(b_map),
+        jnp.asarray(y), jnp.asarray(s), jnp.asarray(full[:896]), is_classifier=False,
+    )
+    assert aligned["loo_errors_gammas"].shape == (896,)
+    np.testing.assert_allclose(
+        np.asarray(res["loo_errors_gammas"][:896]),
+        np.asarray(aligned["loo_errors_gammas"]),
+        rtol=1e-12,
+    )
+
+
+def test_inv_c0_scale_traced_int32_does_not_overflow() -> None:
+    """n·M as int32 wraps for n ≥ ~4.2M at M=513; the float-first scale must not."""
+    import jax
+    import jax.numpy as jnp
+
+    from neo_ls_svm_tpu.models.primal import _inv_c0_scale
+
+    n_traced = jnp.asarray(5_000_000, jnp.int32)  # n*513 > 2^31
+    out = jax.jit(lambda n: _inv_c0_scale(n, 513, jnp.float32))(n_traced)
+    assert float(out) == pytest.approx(5_000_000.0 * 513, rel=1e-6)
+    assert float(out) > 0
+    # And the static-int path agrees.
+    assert float(_inv_c0_scale(5_000_000, 513, jnp.float32)) == pytest.approx(
+        5_000_000.0 * 513, rel=1e-6
+    )

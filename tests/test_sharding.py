@@ -158,3 +158,28 @@ def test_mesh_route_keeps_normalizer_stats_on_host(monkeypatch) -> None:
     model = NeoLSSVM(mesh=mesh).fit(X, y)
     assert calls["n"] == 0, "mesh fits must take the host statistics path"
     assert model.loo_score_ > 0.5
+
+
+def test_sharded_streaming_fit_compiles_once() -> None:
+    """Repeated sharded-streaming fits with the same config must reuse the compiled
+    program instead of retracing a fresh closure every call."""
+    from neo_ls_svm_tpu.parallel import mesh as mesh_mod
+
+    X, y = make_regression_dataset(n=1024, seed=51)
+    s = np.ones_like(y)
+    fmap = OrthogonalRandomFourierFeatures(num_features=32).fit(X, y, s)
+    M_map, b_map = fmap.linear_map()
+    gammas = gamma_grid(np.float64)
+    mesh = make_mesh(num_data=8, num_feature=1)
+    mesh_mod._STREAMING_FIT_CACHE.clear()
+    r1 = sharded_primal_fit_streaming(
+        mesh, X, M_map, b_map, y, s, gammas, is_classifier=False
+    )
+    assert len(mesh_mod._STREAMING_FIT_CACHE) == 1
+    r2 = sharded_primal_fit_streaming(
+        mesh, X, M_map, b_map, y, s, gammas, is_classifier=False
+    )
+    assert len(mesh_mod._STREAMING_FIT_CACHE) == 1  # cache hit, no new entry
+    np.testing.assert_allclose(
+        np.asarray(r1["loo_residuals"]), np.asarray(r2["loo_residuals"]), rtol=0
+    )
