@@ -17,7 +17,16 @@ from neo_ls_svm_tpu.utils.validation import check_is_fitted
 def pool_adjacent_violators(
     y: npt.NDArray[np.floating], w: npt.NDArray[np.floating]
 ) -> npt.NDArray[np.floating]:
-    """Weighted isotonic (non-decreasing) fit minimising Σ wᵢ(yᵢ - ŷᵢ)²; O(n) stack PAV."""
+    """Weighted isotonic (non-decreasing) fit minimising Σ wᵢ(yᵢ - ŷᵢ)²; O(n) stack PAV.
+
+    Dispatches to the native C++ kernel when available (the classifier calibrator
+    fits on the full training-set LOO predictions, so n reaches millions); this
+    Python loop is the semantics-defining fallback.
+    """
+    from neo_ls_svm_tpu import native
+
+    if native.pav_fit is not None:
+        return native.pav_fit(np.asarray(y, dtype=np.float64), np.asarray(w, dtype=np.float64))
     n = len(y)
     # Each stack block: [mean, weight, count].
     means = np.empty(n)

@@ -1,10 +1,12 @@
 """Native (C++) host-side kernels, loaded via ctypes.
 
-The only host-side hot loops in this framework are the quantizer's sequential ECDF
-knot scans (the reference compiles the same loops with numba, ``_quantizer.py:18-73``).
-They are built lazily with the system C++ compiler on first import and cached next to
-the source; when no compiler is available the package transparently falls back to the
-pure-Python implementation in ``ops/quantizer.py``.
+The host-side hot loops in this framework are inherently sequential scans: the
+quantizer's ECDF knot search (the reference compiles the same loops with numba,
+``_quantizer.py:18-73``) and the isotonic calibrator's pool-adjacent-violators stack
+(the reference uses sklearn's C implementation). They are built lazily with the system
+C++ compiler on first import and cached next to the source; when no compiler is
+available the package transparently falls back to the pure-Python implementations in
+``ops/quantizer.py`` and ``models/isotonic.py``.
 """
 
 import ctypes
@@ -15,12 +17,13 @@ import tempfile
 import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_HERE, "knot_scan.cpp")
-_LIB_PATH = os.path.join(_HERE, "_knot_scan.so")
+_SRCS = [os.path.join(_HERE, "knot_scan.cpp"), os.path.join(_HERE, "pav.cpp")]
+_LIB_PATH = os.path.join(_HERE, "_native.so")
 
 
 def _build_library() -> str | None:
-    if os.path.exists(_LIB_PATH) and os.path.getmtime(_LIB_PATH) >= os.path.getmtime(_SRC):
+    src_mtime = max(os.path.getmtime(src) for src in _SRCS)
+    if os.path.exists(_LIB_PATH) and os.path.getmtime(_LIB_PATH) >= src_mtime:
         return _LIB_PATH
     for compiler in ("g++", "c++", "clang++"):
         try:
@@ -30,7 +33,7 @@ def _build_library() -> str | None:
             ) as tmp:
                 tmp_path = tmp.name
             result = subprocess.run(
-                [compiler, "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", tmp_path],
+                [compiler, "-O3", "-shared", "-fPIC", "-std=c++17", *_SRCS, "-o", tmp_path],
                 capture_output=True,
                 timeout=120,
             )
@@ -59,12 +62,44 @@ if _lib_path is not None:
             ctypes.c_int32,
             ctypes.POINTER(ctypes.c_int64),
         ]
+        _lib.pav_fit.restype = None
+        _lib.pav_fit.argtypes = [
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
     except OSError:
         _lib = None
 
 if _lib is None:
     knot_scan = None  # ops/quantizer.py falls back to the pure-Python scan.
+    pav_fit = None  # models/isotonic.py falls back to the pure-Python stack loop.
 else:
+
+    def pav_fit(y: np.ndarray, w: np.ndarray) -> np.ndarray:
+        """Native counterpart of ``models.isotonic.pool_adjacent_violators``."""
+        y = np.ascontiguousarray(y, dtype=np.float64)
+        w = np.ascontiguousarray(w, dtype=np.float64)
+        n = len(y)
+        out = np.empty(n, dtype=np.float64)
+        means = np.empty(n, dtype=np.float64)
+        weights = np.empty(n, dtype=np.float64)
+        counts = np.empty(n, dtype=np.int64)
+        as_f64 = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))  # noqa: E731
+        _lib.pav_fit(
+            as_f64(y),
+            as_f64(w),
+            n,
+            as_f64(out),
+            as_f64(means),
+            as_f64(weights),
+            counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
+        return out
 
     def knot_scan(
         xs: np.ndarray,

@@ -51,3 +51,26 @@ def test_out_of_bounds_semantics() -> None:
     bogus = IsotonicCalibrator(out_of_bounds="bogus").fit(X, y)
     with pytest.raises(ValueError, match="out_of_bounds"):
         bogus.transform([2.0])
+
+
+def test_native_pav_matches_python_fallback() -> None:
+    """The C++ PAV kernel must agree exactly with the semantics-defining Python loop."""
+    from neo_ls_svm_tpu import native
+    from neo_ls_svm_tpu.models import isotonic as iso_mod
+
+    if native.pav_fit is None:
+        pytest.skip("no C++ compiler available")
+    gen = np.random.RandomState(7)
+    for _ in range(50):
+        n = gen.randint(1, 80)
+        y = np.round(gen.randn(n), 2)  # ties exercise the >= merge rule
+        w = gen.uniform(0.1, 3.0, n)
+        fast = native.pav_fit(y, w)
+        saved = native.pav_fit
+        native.pav_fit = None  # force the Python fallback
+        try:
+            slow = iso_mod.pool_adjacent_violators(y, w)
+        finally:
+            native.pav_fit = saved
+        np.testing.assert_allclose(fast, slow, rtol=1e-14, atol=0)
+        assert np.all(np.diff(fast) >= 0)
