@@ -590,11 +590,79 @@ class NeoLSSVM(BaseEstimator):
             fn(X[start : start + PREDICT_CHUNK_ROWS])
             for start in range(0, X.shape[0], PREDICT_CHUNK_ROWS)
         ]
-        return np.concatenate(parts)
+        concat = jnp.concatenate if isinstance(parts[0], jax.Array) else np.concatenate
+        return concat(parts)
+
+    def _validate_device_X(self, X: jax.Array) -> jax.Array:
+        """Metadata-only validation for device-resident inputs.
+
+        ``jax.Array`` inputs stay on device end-to-end: shape/dtype are checked from
+        metadata, but the NaN/inf scan is skipped — pulling a reduction back to the
+        host would cost the round-trip the device path exists to avoid. Serving
+        pipelines own their data hygiene; NumPy/pandas inputs keep the full sklearn
+        validation contract.
+        """
+        if X.ndim != 2:
+            msg = f"Expected 2D array, got {X.ndim}D device array instead."
+            raise ValueError(msg)
+        _check_n_features(self, X)
+        compute_dtype = (self._M_map if self.primal_ else self.X_).dtype
+        if X.dtype != compute_dtype:
+            X = X.astype(compute_dtype)
+        return X
+
+    def _device_dual_transform(self, X: jax.Array) -> jax.Array:
+        """Apply the dual feature map's affine form on device (host-free transform)."""
+        cache = self.__dict__.setdefault("_device_cache", {})
+        if "dual_map" not in cache:
+            # linear_form returns (M, offset, inv_scale) for an A-bearing map, and
+            # (None, shift, inv_scale) for a pure shift/scale map.
+            M, offset, inv_scale = self.dual_feature_map_.linear_form(self.n_features_in_)
+            dtype = self.X_.dtype
+            if M is None:
+                cache["dual_map"] = (
+                    None,
+                    jnp.asarray(np.asarray(offset, dtype).reshape(1, -1)),
+                    jnp.asarray(np.broadcast_to(np.asarray(inv_scale, dtype), offset.shape).reshape(1, -1)),
+                )
+            else:
+                cache["dual_map"] = (
+                    jnp.asarray(M.astype(dtype)),
+                    jnp.asarray(np.asarray(offset, dtype).reshape(1, -1)),
+                    None,
+                )
+        M_d, off_d, inv_scale_d = cache["dual_map"]
+        if M_d is None:
+            return (X - off_d) * inv_scale_d
+        return jnp.dot(X, M_d) + off_d
 
     def decision_function(self, X: Any) -> Any:
-        """Evaluate the prediction function ŷ(x) (ref ``:655-681``)."""
+        """Evaluate the prediction function ŷ(x) (ref ``:655-681``).
+
+        A ``jax.Array`` input stays resident: the result is returned as a ``jax.Array``
+        on the same backend with no host round-trip (see :meth:`_validate_device_X`).
+        """
         check_is_fitted(self, ["γ_"])
+        if isinstance(X, jax.Array):
+            X_d = self._validate_device_X(X)
+            if self.primal_:
+                return self._in_chunks(
+                    X_d,
+                    lambda X_c: primal_decision_function(
+                        X_c,
+                        self._device("M_map"),
+                        self._device("b_map"),
+                        self._device("beta_emb"),
+                    ),
+                )
+            return self._in_chunks(
+                X_d,
+                lambda X_c: dual_decision_function(
+                    self._device_dual_transform(X_c),
+                    self._device("X_train"),
+                    self._device("alpha"),
+                ),
+            )
         X_df = X
         X = _check_n_features(self, check_array(X, dtype=(np.float64, np.float32)))
         if self.primal_:
@@ -625,8 +693,34 @@ class NeoLSSVM(BaseEstimator):
         """Bayesian estimate of the predictive standard deviation (ref ``:452-487``).
 
         Uncalibrated; its value is as a nonconformity score for the conformal stack.
+        A ``jax.Array`` input returns a device-resident ``jax.Array`` (no host pull).
         """
         check_is_fitted(self, ["γ_"])
+        if isinstance(X, jax.Array):
+            X_d = self._validate_device_X(X)
+            if self.primal_:
+                var = self._in_chunks(
+                    X_d,
+                    lambda X_c: primal_predict_var(
+                        X_c,
+                        self._device("M_map"),
+                        self._device("b_map"),
+                        self._device("Qs"),
+                        self._device("lam"),
+                        jnp.asarray(np.asarray(self.γ_, dtype=self._M_map.dtype)),
+                        jnp.asarray(np.asarray(self._inv_c0, dtype=self._M_map.dtype)),
+                    ),
+                )
+            else:
+                var = self._in_chunks(
+                    X_d,
+                    lambda X_c: dual_predict_var(
+                        self._device_dual_transform(X_c),
+                        self._device("X_train"),
+                        self._device("chol"),
+                    ),
+                )
+            return jnp.sqrt(jnp.maximum(var, 0.0))
         X_df = X
         X = _check_n_features(self, check_array(X, dtype=(np.float64, np.float32)))
         if self.primal_:
@@ -781,6 +875,12 @@ class NeoLSSVM(BaseEstimator):
         if quantiles is not None:
             return self.predict_quantiles(X, quantiles=quantiles)
         check_is_fitted(self, ["γ_"])
+        if isinstance(X, jax.Array):
+            if self._estimator_type == "regressor" and np.issubdtype(self.y_dtype_, np.floating):
+                # Device-resident fast path: point predictions never leave the chip.
+                return self.decision_function(X).astype(self.y_dtype_)
+            # Classifier labels (and exotic target dtypes) need host-side mapping.
+            X = np.asarray(X)
         X_df = X
         X = _check_n_features(self, check_array(X, dtype=(np.float64, np.float32)))
         yhat_df = self.decision_function(X)
