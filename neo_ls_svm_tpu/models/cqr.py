@@ -192,7 +192,11 @@ def _newton_stage(
 
     grad_f = jax.grad(f)
     hess_f = jax.hessian(f)
-    step_sizes = 2.0 ** -jnp.arange(0, 12, dtype=B0.dtype)
+    # Step size 0 rides along so f(flat) comes out of the same vmapped evaluation
+    # (values[0]) instead of a separate full objective pass per Newton step.
+    step_sizes = jnp.concatenate(
+        [jnp.zeros((1,), B0.dtype), 2.0 ** -jnp.arange(0, 12, dtype=B0.dtype)]
+    )
 
     def body(flat: jax.Array, _: Any) -> tuple[jax.Array, None]:
         g = grad_f(flat)
@@ -203,8 +207,8 @@ def _newton_stage(
         direction = jax.scipy.linalg.solve(H, g, assume_a="pos")
         candidates = flat[None, :] - step_sizes[:, None] * direction[None, :]
         values = jax.vmap(f)(candidates)
-        best = jnp.argmin(values)
-        improved = values[best] < f(flat)
+        best = jnp.argmin(values[1:]) + 1
+        improved = values[best] < values[0]
         return jnp.where(improved, candidates[best], flat), None
 
     flat_opt, _ = jax.lax.scan(body, B0.reshape(-1), None, length=num_steps)
@@ -313,14 +317,21 @@ def _solve_smooth_batched(
     x_scale = np.std(X, axis=0)
     x_scale[x_scale < 1e-12] = 1.0
     x_mean = np.mean(X, axis=0)
-    constant_cols = np.ptp(X, axis=0) < 1e-12
+    # Intercept candidates: constant AND nonzero columns (an all-zero column carries
+    # no intercept; selecting one would divide by X[0, col] == 0 below).
+    constant_cols = (np.ptp(X, axis=0) < 1e-12) & (np.abs(X[0]) > 1e-12)
     x_mean[constant_cols] = 0.0
-    x_scale[constant_cols] = np.maximum(np.abs(X[0, constant_cols]), 1e-12)
+    x_scale[constant_cols] = np.abs(X[0, constant_cols])
     if not np.any(constant_cols):
         # Without an intercept column there is nowhere to fold a centering offset back.
         x_mean[:] = 0.0
     Xs = (X - x_mean) / x_scale
-    y_med = np.median(Y, axis=1, keepdims=True)  # (T, 1)
+    # Likewise the y centering is only foldable through an intercept; the pure y
+    # scaling folds back through every coefficient and stays on either way.
+    if np.any(constant_cols):
+        y_med = np.median(Y, axis=1, keepdims=True)  # (T, 1)
+    else:
+        y_med = np.zeros((T, 1), dtype=np.float64)
     y_scale = np.maximum(np.median(np.abs(Y - y_med), axis=1, keepdims=True), 1e-8)
     Ys = (Y - y_med) / y_scale
 
@@ -332,6 +343,16 @@ def _solve_smooth_batched(
         for t in range(T):
             q_init = weighted_quantile(Ys[t], S[t], quantiles_full, axis=None)
             B0[t, intercept_col, :] = q_init / Xs[0, intercept_col]
+    else:
+        # No intercept to absorb the target's offset: Newton from zero stalls in the
+        # near-flat pinball landscape, so seed every quantile with the weighted
+        # least-squares solution (F is tiny; this is a dense F×F solve).
+        for t in range(T):
+            sw = S[t][:, None] * Xs
+            gram = sw.T @ Xs + 1e-10 * np.eye(num_features)
+            rhs = sw.T @ Ys[t]
+            b_ls = np.linalg.solve(gram, rhs)
+            B0[t] = np.repeat(b_ls[:, None], num_quantiles, axis=1)
 
     solver_dtype = jnp.zeros(0, dtype=float).dtype  # f64 when x64 enabled, else f32.
     q_dev = jnp.asarray(quantiles_full, dtype=solver_dtype)

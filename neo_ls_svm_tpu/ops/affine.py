@@ -242,7 +242,7 @@ class AffineNormalizer(AffineFeatureMap):
         ] >= _device_stats_threshold(hinted=device_hint is not None)
         if use_device:
             self.shift_, self.scale_ = _normalizer_fit_device(
-                X, bins, weights, codes, X_device=device_hint
+                X, bin_weights, weights, codes, X_device=device_hint
             )
             super().fit(X, y, weights)
             return self
@@ -519,21 +519,24 @@ def _normalizer_stats_device(
 
 def _normalizer_fit_device(
     X: npt.NDArray,
-    masks: list[npt.NDArray],
+    bin_totals: "list[np.floating] | npt.NDArray",
     weights: npt.NDArray,
     codes: npt.NDArray,
     X_device: jax.Array | None = None,
 ) -> tuple[npt.NDArray, npt.NDArray]:
     """Stage the bin codes/weights and run the device statistics.
 
-    ``X_device`` reuses an already-staged device copy of X (possibly row/column
-    padded with zeros) so no second host→device transfer of the feature matrix is
-    needed; only the O(n) codes/weights ride up, in one batched transfer. The bin
-    count is the only compile-time shape (bucketed to a multiple of 4).
+    ``bin_totals`` are the per-bin weight sums the caller already computed during
+    binning (recomputing them from masks would be a redundant O(B·n) host pass on
+    the critical path). ``X_device`` reuses an already-staged device copy of X
+    (possibly row/column padded with zeros) so no second host→device transfer of the
+    feature matrix is needed; only the O(n) codes/weights ride up, in one batched
+    transfer. The bin count is the only compile-time shape (bucketed to a multiple
+    of 4).
     """
     n, d = X.shape
-    bin_totals = np.asarray([np.sum(weights[m]) for m in masks], dtype=X.dtype)
-    B = len(masks)
+    bin_totals = np.asarray(bin_totals, dtype=X.dtype)
+    B = len(bin_totals)
     B_pad = -(-B // 4) * 4
     totals_pad = np.zeros(B_pad, dtype=X.dtype)
     totals_pad[:B] = bin_totals
@@ -542,9 +545,10 @@ def _normalizer_fit_device(
     elif _is_tunneled_backend():
         # Barrier on the in-flight X upload before issuing the stats round-trip: on
         # the tunneled backend a device_get that transitively depends on a large
-        # in-flight upload blocks for multiple seconds (stream multiplexing), while a
-        # control-plane wait on the upload itself is ~0.1 s.
-        X_device.block_until_ready()
+        # in-flight upload blocks for multiple seconds (stream multiplexing). The
+        # scalar pull is the tunnel's only RELIABLE completion probe
+        # (block_until_ready can return early there — see CLAUDE.md).
+        jax.device_get(jnp.sum(X_device[0]))
     n_dev = X_device.shape[0]
     codes_p = np.full(n_dev, B_pad, dtype=np.int32)
     codes_p[:n] = codes

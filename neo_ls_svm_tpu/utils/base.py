@@ -83,6 +83,14 @@ class BaseEstimator:
         )
 
         kind = self._estimator_kind
+        if kind is None:
+            # Derive from the classic sklearn markers: RegressorMixin-style
+            # `_estimator_type` strings first, then a `transform` method.
+            derived = getattr(self, "_estimator_type", None)
+            if isinstance(derived, str):
+                kind = derived
+            elif hasattr(self, "transform"):
+                kind = "transformer"
         tags = Tags(
             estimator_type=kind,
             target_tags=TargetTags(required=kind in ("classifier", "regressor")),

@@ -70,4 +70,8 @@ def r2_score(
     y_mean = np.sum(w * y_true) / np.sum(w)
     ss_res = np.sum(w * (y_true - y_pred) ** 2)
     ss_tot = np.sum(w * (y_true - y_mean) ** 2)
+    if ss_tot == 0.0:
+        # Constant y_true: R² is ill-defined; sklearn's convention is 1.0 for a
+        # perfect fit and 0.0 otherwise (never -inf/nan).
+        return 1.0 if ss_res == 0.0 else 0.0
     return float(1.0 - ss_res / ss_tot)

@@ -137,3 +137,45 @@ def test_batched_smooth_matches_sequential() -> None:
         # vmap changes reduction order inside the Newton stages → ~1e-12 noise.
         np.testing.assert_allclose(betas[t], beta_t, rtol=1e-7, atol=1e-9)
         np.testing.assert_allclose(betas_full[t], beta_full_t, rtol=1e-7, atol=1e-9)
+
+
+def test_smooth_tolerates_zero_columns() -> None:
+    """An all-zero feature column must not be mistaken for the intercept (that would
+    divide by X[0, col] == 0 and destroy the whole fit with NaNs)."""
+    from neo_ls_svm_tpu.models.cqr import coherent_linear_quantile_regression
+
+    gen = np.random.RandomState(3)
+    n = 400
+    X = np.hstack(
+        [
+            np.zeros((n, 1)),
+            gen.randn(n, 2),
+            np.ones((n, 1)),
+        ]
+    )
+    y = 2.0 + X[:, 1] - 0.5 * X[:, 2] + 0.3 * gen.randn(n)
+    quantiles = np.array([0.1, 0.5, 0.9])
+    beta_s, _ = coherent_linear_quantile_regression(X, y, quantiles=quantiles, method="smooth")
+    assert np.all(np.isfinite(beta_s))
+    beta_e, _ = coherent_linear_quantile_regression(X, y, quantiles=quantiles, method="exact")
+    pin_s = _pinball(y, X @ beta_s, quantiles)
+    pin_e = _pinball(y, X @ beta_e, quantiles)
+    assert pin_s <= pin_e * 1.05
+
+
+def test_smooth_without_intercept_matches_objective() -> None:
+    """With no constant column there is nowhere to fold the y centering back — the
+    smooth path must solve the same (uncentered) objective the exact LP solves."""
+    from neo_ls_svm_tpu.models.cqr import coherent_linear_quantile_regression
+
+    gen = np.random.RandomState(4)
+    n = 300
+    X = gen.randn(n, 2)
+    y = 100.0 + X[:, 0] + 0.2 * gen.randn(n)  # large offset, NO intercept column
+    quantiles = np.array([0.5])
+    beta_s, _ = coherent_linear_quantile_regression(X, y, quantiles=quantiles, method="smooth")
+    beta_e, _ = coherent_linear_quantile_regression(X, y, quantiles=quantiles, method="exact")
+    pin_s = _pinball(y, X @ beta_s, quantiles)
+    pin_e = _pinball(y, X @ beta_e, quantiles)
+    assert np.all(np.isfinite(beta_s))
+    assert pin_s <= pin_e * 1.05

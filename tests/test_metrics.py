@@ -44,3 +44,27 @@ def test_accuracy_and_r2_match_sklearn(weighted) -> None:
     assert r2_score(y_true_r, y_pred_r, sample_weight=w) == pytest.approx(
         sklearn.metrics.r2_score(y_true_r, y_pred_r, sample_weight=w)
     )
+
+
+def test_r2_constant_target_matches_sklearn_convention() -> None:
+    """Constant y_true: 1.0 for a perfect fit, 0.0 otherwise — never -inf/nan."""
+    y = np.ones(5)
+    assert r2_score(y, y) == 1.0
+    assert r2_score(y, np.array([1.0, 1, 1, 1, 2])) == 0.0
+    assert sklearn.metrics.r2_score(y, [1, 1, 1, 1, 2]) == r2_score(y, np.array([1.0, 1, 1, 1, 2]))
+
+
+def test_sklearn_tags_derived_for_mixins() -> None:
+    """CQR reports as a regressor and the affine maps as transformers (sklearn 1.6+
+    tag protocol) without every class having to override __sklearn_tags__."""
+    from neo_ls_svm_tpu.models.cqr import CoherentLinearQuantileRegressor
+    from neo_ls_svm_tpu.models.isotonic import IsotonicCalibrator
+    from neo_ls_svm_tpu.ops.affine import AffineSeparator
+    from neo_ls_svm_tpu.ops.orff import OrthogonalRandomFourierFeatures
+
+    assert CoherentLinearQuantileRegressor().__sklearn_tags__().estimator_type == "regressor"
+    assert IsotonicCalibrator().__sklearn_tags__().estimator_type == "regressor"
+    for transformer in (AffineSeparator(), OrthogonalRandomFourierFeatures()):
+        tags = transformer.__sklearn_tags__()
+        assert tags.estimator_type == "transformer"
+        assert tags.transformer_tags is not None

@@ -49,6 +49,11 @@ def test_check_estimator_cqr() -> None:
         # pinball objective has non-unique minimisers, so tiny formulation differences
         # exceed rtol 1e-7.
         "check_sample_weight_equivalence_on_dense_data",
+        # predict returns one column per quantile, (n, Q) — the reference's contract
+        # (ref _coherent_linear_quantile_regressor.py:241-255) — while sklearn's
+        # regressor battery asserts a (n,)-shaped predict. The reference's CQR fails
+        # this check identically under the sklearn ≥1.6 tag protocol.
+        "check_regressors_train",
     }
     unexpected = [r["check_name"] for r in failed if r["check_name"] not in allowed]
     assert not unexpected, f"unexpected check_estimator failures: {unexpected}"
