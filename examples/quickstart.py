@@ -53,6 +53,13 @@ def main() -> None:
     assert np.array_equal(restored.predict(Xr_test), reg.predict(Xr_test))
     print("checkpoint round-trip: OK")
 
+    # Device-resident serving: a jax.Array input stays on the accelerator — the
+    # prediction comes back as a jax.Array with zero host round-trips.
+    import jax.numpy as jnp
+
+    on_device = reg.predict(jnp.asarray(Xr_test))
+    print(f"device-resident predict: {type(on_device).__name__}, shape {on_device.shape}")
+
 
 if __name__ == "__main__":
     main()

@@ -606,7 +606,11 @@ class NeoLSSVM(BaseEstimator):
             msg = f"Expected 2D array, got {X.ndim}D device array instead."
             raise ValueError(msg)
         _check_n_features(self, X)
-        compute_dtype = (self._M_map if self.primal_ else self.X_).dtype
+        # The host-side model state may be f64 while the device runs f32 (x64 off):
+        # canonicalize so the cast matches what the device programs actually use.
+        compute_dtype = jax.dtypes.canonicalize_dtype(
+            (self._M_map if self.primal_ else self.X_).dtype
+        )
         if X.dtype != compute_dtype:
             X = X.astype(compute_dtype)
         return X
@@ -878,7 +882,10 @@ class NeoLSSVM(BaseEstimator):
         if isinstance(X, jax.Array):
             if self._estimator_type == "regressor" and np.issubdtype(self.y_dtype_, np.floating):
                 # Device-resident fast path: point predictions never leave the chip.
-                return self.decision_function(X).astype(self.y_dtype_)
+                # canonicalize_dtype folds f64 -> f32 silently when x64 is off.
+                return self.decision_function(X).astype(
+                    jax.dtypes.canonicalize_dtype(self.y_dtype_)
+                )
             # Classifier labels (and exotic target dtypes) need host-side mapping.
             X = np.asarray(X)
         X_df = X

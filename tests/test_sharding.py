@@ -183,3 +183,18 @@ def test_sharded_streaming_fit_compiles_once() -> None:
     np.testing.assert_allclose(
         np.asarray(r1["loo_residuals"]), np.asarray(r2["loo_residuals"]), rtol=0
     )
+
+
+def test_multihost_mesh_validates_divisibility() -> None:
+    """Uneven slices / indivisible feature axes must raise clear errors instead of
+    silently building a mesh that drops chips."""
+    from types import SimpleNamespace
+
+    from neo_ls_svm_tpu.parallel.distributed import make_multihost_mesh
+
+    uneven = [SimpleNamespace(slice_index=0)] * 2 + [SimpleNamespace(slice_index=1)] * 1
+    with pytest.raises(ValueError, match="unevenly"):
+        make_multihost_mesh(devices=uneven)
+    even = [SimpleNamespace(slice_index=0)] * 2 + [SimpleNamespace(slice_index=1)] * 2
+    with pytest.raises(ValueError, match="divisible"):
+        make_multihost_mesh(num_feature=3, devices=even)
