@@ -577,7 +577,9 @@ class NeoLSSVM(BaseEstimator):
     def __getstate__(self) -> dict[str, Any]:
         self._materialize_result()  # device handles are not picklable; pull them now
         state = dict(self.__dict__)
-        state.pop("_device_cache", None)  # jax.Array handles are not picklable.
+        # Don't serialise device handles: they'd pickle (jax.Array is picklable) but
+        # as redundant host copies of state the host attributes already carry.
+        state.pop("_device_cache", None)
         return state
 
     # ------------------------------------------------------------- core predictors

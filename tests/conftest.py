@@ -8,9 +8,14 @@ the float64 reference are meaningful.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"  # The shell exports axon (TPU); tests are CPU parity.
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+# The suite hard-requires exactly 8 virtual devices: strip any pre-existing
+# xla_force_host_platform_device_count (whatever its value) and set our own.
+_flags = [
+    f
+    for f in os.environ.get("XLA_FLAGS", "").split()
+    if "xla_force_host_platform_device_count" not in f
+]
+os.environ["XLA_FLAGS"] = " ".join([*_flags, "--xla_force_host_platform_device_count=8"])
 
 import jax
 
@@ -23,8 +28,11 @@ import numpy as np
 import pytest
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture
 def rng() -> np.random.RandomState:
+    # Function-scoped on purpose: a shared mutable RandomState would make each test's
+    # data depend on which tests ran before it, so failures in a full run could not
+    # be reproduced by running the single test.
     return np.random.RandomState(0)
 
 

@@ -168,9 +168,14 @@ def test_separator_device_hint_matches_host_end_to_end(monkeypatch) -> None:
     # Same RNG draws downstream → A_ agrees to float tolerance.
     assert dev.A_.shape == host.A_.shape
     np.testing.assert_allclose(dev.A_, host.A_, rtol=1e-6, atol=1e-9)
-    import pickle
+    # No device buffers may leak onto the fitted attributes (jax.Array IS picklable,
+    # so a pickle smoke test cannot catch this — inspect the object directly).
+    import jax
 
-    pickle.dumps(dev)  # no device buffers left on the fitted object
+    leaked = [k for k, v in dev.__dict__.items() if isinstance(v, jax.Array)]
+    assert not leaked, f"device arrays left on the fitted separator: {leaked}"
+    for name in ("shift_", "scale_", "A_"):
+        assert isinstance(getattr(dev, name), np.ndarray)
 
 
 def test_grouped_weighted_median_semantics() -> None:

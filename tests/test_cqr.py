@@ -99,10 +99,18 @@ def test_cqr_intercept_clip_matches_reference_semantics() -> None:
     # Lower bounds never exceed upper bounds, and interior bounds straddle zero-ish
     # ranges consistent with coherence.
     assert np.all(clip[0] <= clip[1])
-    # Same computation applied to the reference's coefficients gives the same matrix.
+    # Same computation applied to the reference's coefficients gives the same matrix:
+    # both solvers hit the LP optimum on this problem, so the clips agree numerically
+    # (not just in shape). Tolerance covers HiGHS interior-point vs simplex wobble.
     theirs = RefCQR(quantiles=quantiles).fit(X, y)
     ref_clip = theirs.intercept_clip(X, y)
     assert ref_clip.shape == clip.shape
+    finite = np.isfinite(ref_clip)
+    assert np.array_equal(finite, np.isfinite(clip))
+    scale = np.std(y)
+    np.testing.assert_allclose(
+        clip[finite], ref_clip[finite], rtol=1e-4, atol=1e-6 * scale
+    )
 
 
 def test_cqr_empirical_coverage() -> None:

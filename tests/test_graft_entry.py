@@ -1,11 +1,12 @@
 """The driver entry points compile and run on the CPU fixture."""
 
+import os
 import sys
 
 import jax
 import numpy as np
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import __graft_entry__  # noqa: E402
 
 

@@ -34,8 +34,6 @@ def test_matches_sklearn(seed, weighted) -> None:
 
 def test_out_of_bounds_semantics() -> None:
     """transform must honour out_of_bounds like sklearn's IsotonicRegression."""
-    import pytest
-
     X = np.array([1.0, 2.0, 3.0, 4.0])
     y = np.array([0.1, 0.4, 0.3, 0.9])
     clip = IsotonicCalibrator(out_of_bounds="clip").fit(X, y)

@@ -164,10 +164,6 @@ def test_primal_general_complexity_matrix_matches_reference() -> None:
 def test_gamma_grid_any_length() -> None:
     """primal_fit must accept grids that are not a multiple of gamma_chunk (the
     public gamma_grid helper invites arbitrary num)."""
-    import jax.numpy as jnp
-
-    from .conftest import make_regression_dataset
-
     X, y = make_regression_dataset(n=600, seed=9)
     s = np.ones_like(y)
     fmap = OrthogonalRandomFourierFeatures(num_features=32).fit(X, y, s)

@@ -48,10 +48,15 @@ def test_state_dict_is_arrays_and_scalars() -> None:
         if isinstance(node, dict):
             for k, v in node.items():
                 walk(v, f"{path}/{k}")
+        elif isinstance(node, (tuple, list)):
+            # Containers must hold serialisable leaves too (a tuple wrapping a
+            # device handle would otherwise slip through).
+            for i, v in enumerate(node):
+                walk(v, f"{path}[{i}]")
         else:
             assert (
                 node is None
-                or isinstance(node, (str, bool, int, float, np.generic, np.ndarray, np.dtype, tuple))
+                or isinstance(node, (str, bool, int, float, np.generic, np.ndarray, np.dtype))
             ), f"non-serialisable leaf at {path}: {type(node)}"
 
     walk(state)
