@@ -166,9 +166,8 @@ class NeoLSSVM(BaseEstimator):
         route-conditional attributes (``classes_``, the dual path's ``X_``) would leak
         across task types / routes.
         """
-        for name in _LAZY_RESULT_ATTRS:
-            self.__dict__.pop(name, None)
         for name in (
+            *_LAZY_RESULT_ATTRS,
             "_pending_result",
             "_pending_ctx",
             "_device_cache",
@@ -617,6 +616,24 @@ class NeoLSSVM(BaseEstimator):
             X = X.astype(compute_dtype)
         return X
 
+    def _primal_decision_device(self, X_c: jax.Array) -> jax.Array:
+        """ŷ for one device-resident chunk (shared by the host and device paths)."""
+        return primal_decision_function(
+            X_c, self._device("M_map"), self._device("b_map"), self._device("beta_emb")
+        )
+
+    def _primal_var_device(self, X_c: jax.Array) -> jax.Array:
+        """σ² for one device-resident chunk (shared by the host and device paths)."""
+        return primal_predict_var(
+            X_c,
+            self._device("M_map"),
+            self._device("b_map"),
+            self._device("Qs"),
+            self._device("lam"),
+            jnp.asarray(np.asarray(self.γ_, dtype=self._M_map.dtype)),
+            jnp.asarray(np.asarray(self._inv_c0, dtype=self._M_map.dtype)),
+        )
+
     def _device_dual_transform(self, X: jax.Array) -> jax.Array:
         """Apply the dual feature map's affine form on device (host-free transform)."""
         cache = self.__dict__.setdefault("_device_cache", {})
@@ -652,15 +669,7 @@ class NeoLSSVM(BaseEstimator):
         if isinstance(X, jax.Array):
             X_d = self._validate_device_X(X)
             if self.primal_:
-                return self._in_chunks(
-                    X_d,
-                    lambda X_c: primal_decision_function(
-                        X_c,
-                        self._device("M_map"),
-                        self._device("b_map"),
-                        self._device("beta_emb"),
-                    ),
-                )
+                return self._in_chunks(X_d, self._primal_decision_device)
             return self._in_chunks(
                 X_d,
                 lambda X_c: dual_decision_function(
@@ -674,14 +683,7 @@ class NeoLSSVM(BaseEstimator):
         if self.primal_:
             yhat = self._in_chunks(
                 X.astype(self._M_map.dtype),
-                lambda X_c: np.asarray(
-                    primal_decision_function(
-                        jnp.asarray(X_c),
-                        self._device("M_map"),
-                        self._device("b_map"),
-                        self._device("beta_emb"),
-                    )
-                ),
+                lambda X_c: np.asarray(self._primal_decision_device(jnp.asarray(X_c))),
             )
         else:
             X_t = self.dual_feature_map_.transform(X)
@@ -705,18 +707,7 @@ class NeoLSSVM(BaseEstimator):
         if isinstance(X, jax.Array):
             X_d = self._validate_device_X(X)
             if self.primal_:
-                var = self._in_chunks(
-                    X_d,
-                    lambda X_c: primal_predict_var(
-                        X_c,
-                        self._device("M_map"),
-                        self._device("b_map"),
-                        self._device("Qs"),
-                        self._device("lam"),
-                        jnp.asarray(np.asarray(self.γ_, dtype=self._M_map.dtype)),
-                        jnp.asarray(np.asarray(self._inv_c0, dtype=self._M_map.dtype)),
-                    ),
-                )
+                var = self._in_chunks(X_d, self._primal_var_device)
             else:
                 var = self._in_chunks(
                     X_d,
@@ -732,17 +723,7 @@ class NeoLSSVM(BaseEstimator):
         if self.primal_:
             var = self._in_chunks(
                 X.astype(self._M_map.dtype),
-                lambda X_c: np.asarray(
-                    primal_predict_var(
-                        jnp.asarray(X_c),
-                        self._device("M_map"),
-                        self._device("b_map"),
-                        self._device("Qs"),
-                        self._device("lam"),
-                        jnp.asarray(np.asarray(self.γ_, dtype=self._M_map.dtype)),
-                        jnp.asarray(np.asarray(self._inv_c0, dtype=self._M_map.dtype)),
-                    )
-                ),
+                lambda X_c: np.asarray(self._primal_var_device(jnp.asarray(X_c))),
             )
         else:
             X_t = self.dual_feature_map_.transform(X)

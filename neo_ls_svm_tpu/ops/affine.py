@@ -237,9 +237,10 @@ class AffineNormalizer(AffineFeatureMap):
         # _stats_host_only: set by callers that manage device placement themselves
         # (e.g. the estimator's mesh route stages X *sharded*; uploading the full
         # matrix to one chip here would duplicate the transfer and the memory).
-        use_device = not getattr(self, "_stats_host_only", False) and X.shape[
-            0
-        ] >= _device_stats_threshold(hinted=device_hint is not None)
+        use_device = (
+            not getattr(self, "_stats_host_only", False)
+            and X.shape[0] >= _device_stats_threshold(hinted=device_hint is not None)
+        )
         if use_device:
             self.shift_, self.scale_ = _normalizer_fit_device(
                 X, bin_weights, weights, codes, X_device=device_hint

@@ -3,7 +3,10 @@
 import numpy as np
 import pytest
 
-from neo_ls_svm_tpu.models.cqr import CoherentLinearQuantileRegressor
+from neo_ls_svm_tpu.models.cqr import (
+    CoherentLinearQuantileRegressor,
+    coherent_linear_quantile_regression,
+)
 
 from .reference_shim import import_reference
 
@@ -150,8 +153,6 @@ def test_batched_smooth_matches_sequential() -> None:
 def test_smooth_tolerates_zero_columns() -> None:
     """An all-zero feature column must not be mistaken for the intercept (that would
     divide by X[0, col] == 0 and destroy the whole fit with NaNs)."""
-    from neo_ls_svm_tpu.models.cqr import coherent_linear_quantile_regression
-
     gen = np.random.RandomState(3)
     n = 400
     X = np.hstack(
@@ -174,8 +175,6 @@ def test_smooth_tolerates_zero_columns() -> None:
 def test_smooth_without_intercept_matches_objective() -> None:
     """With no constant column there is nowhere to fold the y centering back — the
     smooth path must solve the same (uncentered) objective the exact LP solves."""
-    from neo_ls_svm_tpu.models.cqr import coherent_linear_quantile_regression
-
     gen = np.random.RandomState(4)
     n = 300
     X = gen.randn(n, 2)
