@@ -352,9 +352,10 @@ class NeoLSSVM(BaseEstimator):
                 )
                 # The streaming route runs the fused Pallas kernels by default on TPU
                 # backends (hardware-verified f32-exact multiplies at precision='high';
-                # single-pass bf16 multiplies at precision='fast'). Pallas does not
-                # lower on CPU/GPU outside interpret mode.
-                use_pallas = jax.devices()[0].platform not in ("cpu", "gpu")
+                # single-pass bf16 multiplies at precision='fast'). Mosaic kernels
+                # exist ONLY for TPU — gate on the platform affirmatively so unknown
+                # backends fall back to the XLA path instead of failing to lower.
+                use_pallas = jax.devices()[0].platform == "tpu"
                 result = primal_fit_streaming(
                     X_dev,
                     M_d,
