@@ -584,16 +584,26 @@ class NeoLSSVM(BaseEstimator):
 
     # ------------------------------------------------------------- core predictors
 
-    def _in_chunks(self, X: npt.NDArray, fn: Any) -> npt.NDArray:
-        """Apply a per-chunk device function over row chunks of X and concatenate."""
+    def _in_chunks(self, X: Any, fn: Any, *, device_out: bool) -> Any:
+        """Apply a per-chunk device function over row chunks of X.
+
+        ``fn`` returns device arrays; chunk dispatches are asynchronous, so uploads
+        and compute pipeline across chunks. With ``device_out`` the concatenated
+        result stays on device; otherwise every chunk is pulled in ONE batched
+        ``jax.device_get`` at the end (a per-chunk pull would serialise each chunk's
+        upload → compute → round-trip).
+        """
         if X.shape[0] <= PREDICT_CHUNK_ROWS:
-            return fn(X)
-        parts = [
-            fn(X[start : start + PREDICT_CHUNK_ROWS])
-            for start in range(0, X.shape[0], PREDICT_CHUNK_ROWS)
-        ]
-        concat = jnp.concatenate if isinstance(parts[0], jax.Array) else np.concatenate
-        return concat(parts)
+            parts = [fn(X)]
+        else:
+            parts = [
+                fn(X[start : start + PREDICT_CHUNK_ROWS])
+                for start in range(0, X.shape[0], PREDICT_CHUNK_ROWS)
+            ]
+        if device_out:
+            return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+        host_parts = jax.device_get(parts)
+        return host_parts[0] if len(host_parts) == 1 else np.concatenate(host_parts)
 
     def _validate_device_X(self, X: jax.Array) -> jax.Array:
         """Metadata-only validation for device-resident inputs.
@@ -670,7 +680,7 @@ class NeoLSSVM(BaseEstimator):
         if isinstance(X, jax.Array):
             X_d = self._validate_device_X(X)
             if self.primal_:
-                return self._in_chunks(X_d, self._primal_decision_device)
+                return self._in_chunks(X_d, self._primal_decision_device, device_out=True)
             return self._in_chunks(
                 X_d,
                 lambda X_c: dual_decision_function(
@@ -678,23 +688,24 @@ class NeoLSSVM(BaseEstimator):
                     self._device("X_train"),
                     self._device("alpha"),
                 ),
+                device_out=True,
             )
         X_df = X
         X = _check_n_features(self, check_array(X, dtype=(np.float64, np.float32)))
         if self.primal_:
             yhat = self._in_chunks(
                 X.astype(self._M_map.dtype),
-                lambda X_c: np.asarray(self._primal_decision_device(jnp.asarray(X_c))),
+                lambda X_c: self._primal_decision_device(jnp.asarray(X_c)),
+                device_out=False,
             )
         else:
             X_t = self.dual_feature_map_.transform(X)
             yhat = self._in_chunks(
                 X_t,
-                lambda X_c: np.asarray(
-                    dual_decision_function(
-                        jnp.asarray(X_c), self._device("X_train"), self._device("alpha")
-                    )
+                lambda X_c: dual_decision_function(
+                    jnp.asarray(X_c), self._device("X_train"), self._device("alpha")
                 ),
+                device_out=False,
             )
         return _maybe_pandas_series(yhat, X_df)
 
@@ -708,7 +719,7 @@ class NeoLSSVM(BaseEstimator):
         if isinstance(X, jax.Array):
             X_d = self._validate_device_X(X)
             if self.primal_:
-                var = self._in_chunks(X_d, self._primal_var_device)
+                var = self._in_chunks(X_d, self._primal_var_device, device_out=True)
             else:
                 var = self._in_chunks(
                     X_d,
@@ -717,6 +728,7 @@ class NeoLSSVM(BaseEstimator):
                         self._device("X_train"),
                         self._device("chol"),
                     ),
+                    device_out=True,
                 )
             return jnp.sqrt(jnp.maximum(var, 0.0))
         X_df = X
@@ -724,17 +736,17 @@ class NeoLSSVM(BaseEstimator):
         if self.primal_:
             var = self._in_chunks(
                 X.astype(self._M_map.dtype),
-                lambda X_c: np.asarray(self._primal_var_device(jnp.asarray(X_c))),
+                lambda X_c: self._primal_var_device(jnp.asarray(X_c)),
+                device_out=False,
             )
         else:
             X_t = self.dual_feature_map_.transform(X)
             var = self._in_chunks(
                 X_t,
-                lambda X_c: np.asarray(
-                    dual_predict_var(
-                        jnp.asarray(X_c), self._device("X_train"), self._device("chol")
-                    )
+                lambda X_c: dual_predict_var(
+                    jnp.asarray(X_c), self._device("X_train"), self._device("chol")
                 ),
+                device_out=False,
             )
         return _maybe_pandas_series(np.sqrt(np.maximum(var, 0.0)), X_df)
 
