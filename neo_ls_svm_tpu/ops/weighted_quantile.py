@@ -30,6 +30,55 @@ def _batched_interp(q: np.ndarray, p: np.ndarray, a: np.ndarray) -> np.ndarray:
     return out
 
 
+# Tests flip this off to compare the O(n) uniform-weight fast path against the
+# general argsort path on identical inputs (they must agree BIT-exactly).
+_ENABLE_UNIFORM_FAST_PATH = True
+
+
+def _uniform_weight_quantile_2d(a: np.ndarray, w0: np.ndarray, q: float) -> np.ndarray:
+    """Bit-exact fast path of :func:`weighted_quantile` for UNIFORM weights, 2-D a,
+    ``axis=0``, one quantile.
+
+    With equal weights the sorted-weight vector — hence both ECDF position arrays —
+    is data-independent, so the full O(n log n) argsort reduces to an O(n)
+    ``np.partition`` for the 2×2 bracketing order statistics. Exactness: the p
+    arrays are reconstructed with the same cumsum arithmetic the general path uses,
+    the bracket index is ``np.interp``'s own choice (largest j with p[j] ≤ q, i.e.
+    ``searchsorted(..., 'right') - 1``), and the final interpolation reuses
+    ``np.interp`` on the bracketing pair — identical floating-point operations to
+    the general path, which reads only those two entries anyway.
+    """
+    n, d = a.shape
+    # The p arrays carry the WEIGHT dtype in the general path (cumsum of the sorted
+    # weights), independent of a's dtype — reproduce that exactly.
+    w_vec = np.full(n, w0, dtype=w0.dtype)
+    cw = np.cumsum(w_vec)
+    total = cw[-1]
+    p_lower = (cw - w_vec) / total
+    p_upper = cw / total
+
+    def bracket(p_vec: np.ndarray) -> tuple[int, int]:
+        j = int(np.searchsorted(p_vec, q, side="right")) - 1
+        if j < 0:
+            return 0, 0  # q below p[0]: np.interp clamps to fp[0]
+        if j >= n - 1:
+            return n - 1, n - 1  # q at/above p[-1]: clamps to fp[-1]
+        return j, j + 1
+
+    lo0, lo1 = bracket(p_lower)
+    up0, up1 = bracket(p_upper)
+    kth = sorted({lo0, lo1, up0, up1})
+    at = np.ascontiguousarray(a.T)  # (d, n): partition along the contiguous axis
+    part = np.partition(at, kth, axis=1)
+    result = np.empty((1, d), dtype=a.dtype)
+    for col in range(d):
+        vals = {k: part[col, k] for k in kth}
+        lower = np.interp(q, p_lower[[lo0, lo1]], [vals[lo0], vals[lo1]])
+        upper = np.interp(q, p_upper[[up0, up1]], [vals[up0], vals[up1]])
+        result[0, col] = (np.asarray(lower, a.dtype) + np.asarray(upper, a.dtype)) / 2
+    return result
+
+
 def weighted_quantile(
     a: FloatTensor,
     w: FloatTensor,
@@ -44,6 +93,17 @@ def weighted_quantile(
     assert np.all(w >= 0), "Weights must be nonnegative"
     w = np.broadcast_to(w, a.shape)
     q_arr = np.ravel(np.asarray([q])).astype(a.dtype)
+    if (
+        _ENABLE_UNIFORM_FAST_PATH
+        and axis == 0
+        and a.ndim == 2
+        and q_arr.size == 1
+        and a.shape[0] >= 64
+        and w.size > 0
+        and np.ptp(w) == 0
+        and float(w.flat[0]) > 0
+    ):
+        return _uniform_weight_quantile_2d(a, w.flat[0], float(q_arr[0]))
     if axis is None:
         a_flat, w_flat = np.ravel(a), np.ravel(w)
         order = np.argsort(a_flat)

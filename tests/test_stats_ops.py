@@ -126,3 +126,38 @@ def test_native_knot_scan_matches_python_fallback() -> None:
             q._native_knot_scan = saved
         np.testing.assert_array_equal(native_hist, py_hist)
         np.testing.assert_allclose(native_edges, py_edges)
+
+
+def test_uniform_fast_path_bitwise_equals_general_path() -> None:
+    """The O(n) partition fast path for uniform weights must be BIT-exactly equal to
+    the general argsort path (it replicates np.interp's bracket choice and
+    arithmetic), across dtypes, tie regimes, and edge quantiles."""
+    import importlib
+
+    wq = importlib.import_module("neo_ls_svm_tpu.ops.weighted_quantile")
+    gen = np.random.RandomState(17)
+    try:
+        for trial in range(120):
+            n = gen.randint(64, 1500)
+            d = gen.randint(1, 6)
+            dtype = np.float32 if trial % 2 else np.float64
+            kind = trial % 4
+            if kind == 0:
+                a = gen.randn(n, d).astype(dtype)
+            elif kind == 1:
+                a = np.round(gen.randn(n, d), 1).astype(dtype)  # heavy ties
+            elif kind == 2:
+                a = gen.choice([0.0, 1.0, 2.0], size=(n, d)).astype(dtype)
+            else:
+                a = np.sort(gen.randn(n, d), axis=0).astype(dtype)  # presorted
+            w = np.full((n, 1), gen.choice([1.0, 0.5, 1.0 / n]),
+                        dtype=np.float32 if trial % 3 == 0 else np.float64)
+            q = gen.choice([0.5, 0.1, 0.9, 0.0, 1.0, 0.999])
+            fast = wq.weighted_quantile(a, w, q, axis=0)
+            wq._ENABLE_UNIFORM_FAST_PATH = False
+            slow = wq.weighted_quantile(a, w, q, axis=0)
+            wq._ENABLE_UNIFORM_FAST_PATH = True
+            assert fast.shape == slow.shape
+            np.testing.assert_array_equal(fast, slow)
+    finally:
+        wq._ENABLE_UNIFORM_FAST_PATH = True
