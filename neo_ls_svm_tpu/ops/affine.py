@@ -247,14 +247,13 @@ class AffineNormalizer(AffineFeatureMap):
             )
             super().fit(X, y, weights)
             return self
-        centers = [
-            weighted_quantile(X[mask], probs.T, 0.5, axis=0)
-            for mask, probs in zip(bins, bin_probs)
-        ]
-        spreads = [
-            probs @ np.abs(X[mask] - mu)
-            for mask, probs, mu in zip(bins, bin_probs, centers)
-        ]
+        centers = []
+        spreads = []
+        for mask, probs in zip(bins, bin_probs):
+            X_bin = X[mask]  # gather once; both statistics read the same block
+            mu = weighted_quantile(X_bin, probs.T, 0.5, axis=0)
+            centers.append(mu)
+            spreads.append(probs @ np.abs(X_bin - mu))
         sign = np.zeros((1, d), dtype=X.dtype)
         total_w = np.zeros((1, d), dtype=X.dtype)
         self.shift_ = np.zeros((1, d), dtype=X.dtype)
