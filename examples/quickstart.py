@@ -5,9 +5,14 @@ so it runs offline. On a machine with a TPU, the solver runs there automatically
 CPU it runs under XLA just the same.
 """
 
+import os
+import sys
+
 import numpy as np
 
-from neo_ls_svm_tpu import NeoLSSVM
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))  # run from a checkout
+
+from neo_ls_svm_tpu import NeoLSSVM  # noqa: E402
 
 
 def main() -> None:

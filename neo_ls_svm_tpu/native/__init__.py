@@ -26,6 +26,7 @@ def _build_library() -> str | None:
     if os.path.exists(_LIB_PATH) and os.path.getmtime(_LIB_PATH) >= src_mtime:
         return _LIB_PATH
     for compiler in ("g++", "c++", "clang++"):
+        tmp_path = None
         try:
             # Build in a temp file then atomically rename, so concurrent imports race safely.
             with tempfile.NamedTemporaryFile(
@@ -40,9 +41,17 @@ def _build_library() -> str | None:
             if result.returncode == 0:
                 os.replace(tmp_path, _LIB_PATH)
                 return _LIB_PATH
-            os.unlink(tmp_path)
         except (OSError, subprocess.SubprocessError):
             continue
+        finally:
+            # Clean the temp file on EVERY non-success path (absent compiler raises
+            # FileNotFoundError before the unlink a success-path-only cleanup would
+            # run, leaking orphan .so files into the package dir on each import).
+            if tmp_path is not None and os.path.exists(tmp_path):
+                try:
+                    os.unlink(tmp_path)
+                except OSError:
+                    pass
     return None
 
 
@@ -84,6 +93,9 @@ else:
         """Native counterpart of ``models.isotonic.pool_adjacent_violators``."""
         y = np.ascontiguousarray(y, dtype=np.float64)
         w = np.ascontiguousarray(w, dtype=np.float64)
+        if y.shape != w.shape:
+            msg = f"y and w must have the same length; got {y.shape} and {w.shape}"
+            raise ValueError(msg)  # the C loop would read w out of bounds
         n = len(y)
         out = np.empty(n, dtype=np.float64)
         means = np.empty(n, dtype=np.float64)
@@ -114,7 +126,11 @@ else:
         Callers pass float64/int64 contiguous arrays (the quantizer casts once per
         histogram), so no per-call copies happen here.
         """
-        assert xs.dtype == np.float64 and ys.dtype == np.int64
+        if xs.dtype != np.float64 or ys.dtype != np.int64:
+            # Explicit raise, not assert: under `python -O` an assert vanishes and
+            # the C kernel would reinterpret the buffers (reads past the end).
+            msg = f"knot_scan needs float64/int64 arrays; got {xs.dtype}/{ys.dtype}"
+            raise TypeError(msg)
         count = ctypes.c_int64(0)
         new_knot = _lib.knot_scan(
             xs.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),

@@ -133,14 +133,13 @@ class RandomFourierFeatures(KernelApproximatingFeatureMap):
     @property
     def complexity_matrix(self) -> npt.NDArray:
         """The shipped fast-approximation complexity matrix: the identity, extended with
-        a diagonal entry that also shrinks the bias (ref ``_feature_maps.py:129-135``)."""
-        cached = getattr(self, "_complexity_matrix_cache", None)
-        if cached is None:
-            C = np.eye(self.D + 1, dtype=self.Z_.dtype)
-            C[:-1, :-1] = np.asarray(complexity_sinc_matrix(jnp.asarray(self.Z_), fast_approx=True))
-            self._complexity_matrix_cache = C
-            cached = C
-        return cached
+        a diagonal entry that also shrinks the bias (ref ``_feature_maps.py:129-135``).
+
+        Built directly as ``np.eye`` — the fast approximation IS the identity
+        (ref ``_feature_maps.py:44-45``), so no device round-trip is warranted; the
+        dormant exact sinc path lives in :meth:`complexity_matrix_exact`.
+        """
+        return np.eye(self.D + 1, dtype=self.Z_.dtype)
 
     def complexity_matrix_exact(self) -> npt.NDArray:
         """The full sinc-product complexity matrix (the reference's dormant exact path)."""
@@ -157,9 +156,19 @@ class RandomFourierFeatures(KernelApproximatingFeatureMap):
         """Fit the affine pre-transform, draw Z, and fold Z into the affine map."""
         super().fit(X, y, sample_weight)
         A = getattr(self.affine_feature_map, "A_", self.affine_feature_map.A)
+        # Refit idempotence: if the affine map still carries OUR previous fold (its
+        # fit validates but does not re-learn A_ for plain AffineFeatureMaps), undo
+        # it — folding Z into an already-folded A@Z would silently corrupt the map.
+        # (The reference shares this refit bug, _feature_maps.py:147-150; the default
+        # AffineSeparator is unaffected because its fit re-learns A_.)
+        if A is not None and A is getattr(self, "_folded_A_", None):
+            A = self._prefold_A_
         d = A.shape[1] if A is not None else X.shape[1]
         self.Z_: npt.NDArray = self._fourier_features(d, self.D, X.dtype, self.random_state)
-        self.affine_feature_map.A_ = A @ self.Z_ if A is not None else self.Z_
+        folded = A @ self.Z_ if A is not None else self.Z_
+        self.affine_feature_map.A_ = folded
+        self._prefold_A_ = A
+        self._folded_A_ = folded
         return self
 
     def transform(self, X: npt.NDArray) -> npt.NDArray:

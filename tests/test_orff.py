@@ -86,3 +86,40 @@ def test_set_params_num_features_is_respected() -> None:
     fmap.fit(X, y)
     assert fmap.Z_.shape[1] == 128
     assert fmap.transform(X[:5]).shape == (5, 129)
+
+
+def test_refit_is_idempotent_with_plain_affine_map() -> None:
+    """Refitting on identical data must reproduce the identical transform — a plain
+    AffineFeatureMap's fit validates but does not re-learn A_, so the fold must not
+    compound into A @ Z @ Z2 (a silent corruption the reference shares)."""
+    from neo_ls_svm_tpu.ops.affine import AffineFeatureMap
+
+    gen = np.random.RandomState(41)
+    X = gen.randn(300, 5)
+    y = gen.randn(300)
+    A0 = gen.randn(5, 4)
+    fmap = OrthogonalRandomFourierFeatures(
+        affine_feature_map=AffineFeatureMap(
+            scale=np.ones((1, 5)), shift=np.zeros((1, 5)), A=A0.copy()
+        ),
+        num_features=16,
+    )
+    fmap.fit(X, y, np.ones_like(y))
+    first = fmap.transform(X[:10])
+    assert fmap.affine_feature_map.A_.shape == (5, 16)
+    fmap.fit(X, y, np.ones_like(y))
+    second = fmap.transform(X[:10])
+    assert fmap.affine_feature_map.A_.shape == (5, 16)
+    np.testing.assert_array_equal(first, second)
+
+
+def test_complexity_matrix_tracks_num_features_across_refits() -> None:
+    """set_params(num_features=...) + refit must not serve a stale-shaped matrix."""
+    gen = np.random.RandomState(42)
+    X, y = gen.randn(300, 4), gen.randn(300)
+    fmap = OrthogonalRandomFourierFeatures(num_features=16).fit(X, y, np.ones_like(y))
+    assert fmap.complexity_matrix.shape == (17, 17)
+    fmap.set_params(num_features=32)
+    fmap.fit(X, y, np.ones_like(y))
+    assert fmap.complexity_matrix.shape == (33, 33)
+    np.testing.assert_array_equal(fmap.complexity_matrix, np.eye(33))
