@@ -7,6 +7,7 @@ shim lets parity tests compare our TPU implementation's outputs against the *act
 reference, not a transcription of it.
 """
 
+import os
 import sys
 import types
 from typing import Any
@@ -35,7 +36,18 @@ def _install_numba_shim() -> None:
 
 
 def import_reference():
-    """Return the reference ``neo_ls_svm`` package, importable without numba."""
+    """Return the reference ``neo_ls_svm`` package, importable without numba.
+
+    On machines without the read-only reference checkout (e.g. public CI), the
+    parity test modules skip cleanly instead of erroring at collection.
+    """
+    if not os.path.isdir(REFERENCE_SRC):
+        import pytest  # noqa: PLC0415
+
+        pytest.skip(
+            f"reference implementation not available at {REFERENCE_SRC}",
+            allow_module_level=True,
+        )
     _install_numba_shim()
     if REFERENCE_SRC not in sys.path:
         sys.path.insert(0, REFERENCE_SRC)
