@@ -68,3 +68,18 @@ def test_device_f32_input_casts_to_model_dtype() -> None:
     assert isinstance(dev, jax.Array)
     host = model.decision_function(X[:50])
     np.testing.assert_allclose(np.asarray(dev), host, rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize("n", [1600, 700])  # primal and dual routes
+def test_device_prediction_after_restore(n) -> None:
+    """Device-resident prediction must work on a model restored from a state dict
+    (the device cache re-stages from host state on first use)."""
+    X, y = make_regression_dataset(n=n, seed=26)
+    model = NeoLSSVM().fit(X, y)
+    restored = NeoLSSVM.from_state_dict(model.to_state_dict())
+    for method in ("decision_function", "predict_std", "predict"):
+        dev = getattr(restored, method)(jnp.asarray(X[:50]))
+        assert isinstance(dev, jax.Array)
+        np.testing.assert_allclose(
+            np.asarray(dev), getattr(model, method)(X[:50]), rtol=1e-10, atol=1e-12
+        )
