@@ -159,16 +159,25 @@ class RandomFourierFeatures(KernelApproximatingFeatureMap):
         # Refit idempotence: if the affine map still carries OUR previous fold (its
         # fit validates but does not re-learn A_ for plain AffineFeatureMaps), undo
         # it — folding Z into an already-folded A@Z would silently corrupt the map.
-        # (The reference shares this refit bug, _feature_maps.py:147-150; the default
+        # The guard compares VALUES, not object identity, so it survives state-dict /
+        # pickle round-trips (which rebuild fresh arrays); the attrs end in ``_``
+        # without a leading underscore so serialization keeps them. (The reference
+        # shares this refit bug, _feature_maps.py:147-150; the default
         # AffineSeparator is unaffected because its fit re-learns A_.)
-        if A is not None and A is getattr(self, "_folded_A_", None):
-            A = self._prefold_A_
+        folded_prev = getattr(self, "folded_A_", None)
+        if (
+            A is not None
+            and folded_prev is not None
+            and A.shape == folded_prev.shape
+            and np.array_equal(A, folded_prev)
+        ):
+            A = self.prefold_A_
         d = A.shape[1] if A is not None else X.shape[1]
         self.Z_: npt.NDArray = self._fourier_features(d, self.D, X.dtype, self.random_state)
         folded = A @ self.Z_ if A is not None else self.Z_
         self.affine_feature_map.A_ = folded
-        self._prefold_A_ = A
-        self._folded_A_ = folded
+        self.prefold_A_ = A
+        self.folded_A_ = folded
         return self
 
     def transform(self, X: npt.NDArray) -> npt.NDArray:

@@ -47,6 +47,10 @@ def _uniform_weight_quantile_2d(a: np.ndarray, w0: np.ndarray, q: float) -> np.n
     ``searchsorted(..., 'right') - 1``), and the final interpolation reuses
     ``np.interp`` on the bracketing pair — identical floating-point operations to
     the general path, which reads only those two entries anyway.
+
+    One caveat: among tied ±0.0 values, partition and argsort may select a
+    differently-SIGNED zero representative (both paths' tie order is arbitrary);
+    the results compare equal (−0.0 == +0.0) but can differ in the sign bit.
     """
     n, d = a.shape
     # The p arrays carry the WEIGHT dtype in the general path (cumsum of the sorted
@@ -91,17 +95,18 @@ def weighted_quantile(
     assert a.ndim == w.ndim, "Array and weights must have the same number of dimensions"
     assert axis is None or (0 <= axis < a.ndim), "Axis must be one of the array's dimensions"
     assert np.all(w >= 0), "Weights must be nonnegative"
+    # Uniformity is checked on the PRE-broadcast weights (O(n), not O(n·d) over the
+    # broadcast view, and non-uniform callers skip straight to the general path).
+    uniform_w = w.size > 0 and np.ptp(w) == 0 and float(w.flat[0]) > 0
     w = np.broadcast_to(w, a.shape)
     q_arr = np.ravel(np.asarray([q])).astype(a.dtype)
     if (
         _ENABLE_UNIFORM_FAST_PATH
+        and uniform_w
         and axis == 0
         and a.ndim == 2
         and q_arr.size == 1
         and a.shape[0] >= 64
-        and w.size > 0
-        and np.ptp(w) == 0
-        and float(w.flat[0]) > 0
     ):
         return _uniform_weight_quantile_2d(a, w.flat[0], float(q_arr[0]))
     if axis is None:

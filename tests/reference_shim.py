@@ -38,16 +38,27 @@ def _install_numba_shim() -> None:
 def import_reference():
     """Return the reference ``neo_ls_svm`` package, importable without numba.
 
-    On machines without the read-only reference checkout (e.g. public CI), the
-    parity test modules skip cleanly instead of erroring at collection.
+    A missing reference checkout fails LOUDLY by default — many test modules mix
+    parity tests with tests of this repo's own code, and a silent module-level skip
+    would hide regressions in the latter. Environments that genuinely lack the
+    checkout (public CI) opt into skipping by exporting
+    ``NEO_LS_SVM_TPU_ALLOW_MISSING_REFERENCE=1``.
     """
     if not os.path.isdir(REFERENCE_SRC):
-        import pytest  # noqa: PLC0415
+        if os.environ.get("NEO_LS_SVM_TPU_ALLOW_MISSING_REFERENCE"):
+            import pytest  # noqa: PLC0415
 
-        pytest.skip(
-            f"reference implementation not available at {REFERENCE_SRC}",
-            allow_module_level=True,
+            pytest.skip(
+                f"reference implementation not available at {REFERENCE_SRC}",
+                allow_module_level=True,
+            )
+        msg = (
+            f"The reference checkout is required at {REFERENCE_SRC} for parity tests. "
+            "Set NEO_LS_SVM_TPU_ALLOW_MISSING_REFERENCE=1 to skip reference-dependent "
+            "test modules instead (note: modules mixing parity and non-parity tests "
+            "skip entirely)."
         )
+        raise FileNotFoundError(msg)
     _install_numba_shim()
     if REFERENCE_SRC not in sys.path:
         sys.path.insert(0, REFERENCE_SRC)

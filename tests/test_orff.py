@@ -123,3 +123,26 @@ def test_complexity_matrix_tracks_num_features_across_refits() -> None:
     fmap.fit(X, y, np.ones_like(y))
     assert fmap.complexity_matrix.shape == (33, 33)
     np.testing.assert_array_equal(fmap.complexity_matrix, np.eye(33))
+
+
+def test_refit_idempotent_after_pickle_roundtrip() -> None:
+    """The fold-undo guard must survive serialization: a restored feature map with a
+    plain (non-relearning) affine component must refit without double-folding."""
+    import pickle
+
+    from neo_ls_svm_tpu.ops.affine import AffineFeatureMap
+
+    gen = np.random.RandomState(43)
+    X = gen.randn(300, 5)
+    y = gen.randn(300)
+    fmap = OrthogonalRandomFourierFeatures(
+        affine_feature_map=AffineFeatureMap(
+            scale=np.ones((1, 5)), shift=np.zeros((1, 5)), A=gen.randn(5, 4)
+        ),
+        num_features=16,
+    ).fit(X, y, np.ones_like(y))
+    first = fmap.transform(X[:10])
+    restored = pickle.loads(pickle.dumps(fmap))
+    restored.fit(X, y, np.ones_like(y))
+    assert restored.affine_feature_map.A_.shape == (5, 16)
+    np.testing.assert_array_equal(restored.transform(X[:10]), first)

@@ -137,7 +137,7 @@ def test_uniform_fast_path_bitwise_equals_general_path() -> None:
     wq = importlib.import_module("neo_ls_svm_tpu.ops.weighted_quantile")
     gen = np.random.RandomState(17)
     try:
-        for trial in range(120):
+        for trial in range(400):
             n = gen.randint(64, 1500)
             d = gen.randint(1, 6)
             dtype = np.float32 if trial % 2 else np.float64
