@@ -101,10 +101,12 @@ def run_ours(X, y) -> tuple[float, object, dict]:
     try:
         # Warm-up on identical shapes: XLA compiles once; production reuses the cache.
         NeoLSSVM().fit(X, y)
-        # Best of two timed fits: tunneled-TPU transfer latency is noisy run to run.
+        # Best of three timed fits: tunneled-TPU transfer latency swings by an order
+        # of magnitude minute to minute, so one extra sample meaningfully tightens
+        # the recorded minimum.
         elapsed = float("inf")
         best_phase: dict[str, float] = {}
-        for _ in range(2):
+        for _ in range(3):
             phase.clear()
             t0 = time.perf_counter()
             model = NeoLSSVM().fit(X, y)
