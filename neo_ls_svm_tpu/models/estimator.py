@@ -19,6 +19,7 @@ Feature parity checklist vs the reference:
  10. pandas in → pandas out
 """
 
+from functools import partial
 from typing import Any, Literal
 
 import jax
@@ -94,6 +95,10 @@ _LAZY_RESULT_ATTRS = frozenset(
         "sample_weight_calib_l2_",
         "conformal_l1_",
         "conformal_l2_",
+        # pre_transform="device" defers these to the materialise pull; the host
+        # pre-transform sets them eagerly in fit so the lookup below never fires.
+        "_M_map",
+        "_b_map",
     }
 )
 
@@ -121,6 +126,47 @@ def _check_n_features(estimator: "NeoLSSVM", X: npt.NDArray) -> npt.NDArray:
     return X
 
 
+@partial(jax.jit, static_argnames=("is_regressor",))
+def _conformal_quantiles_device(
+    yhat: jax.Array,  # (n,) decision-function values
+    std: jax.Array,  # (n,) Bayesian predictive std (the nonconformity score)
+    beta_abs: jax.Array,  # (F+1, Q) level-1 CQR coefficients, absolute target
+    bias_abs: jax.Array,  # (Q,) level-2 bias (coverage-clamped by the caller)
+    beta_rel: jax.Array,  # (F+1, Q) level-1 CQR coefficients, relative target
+    bias_rel: jax.Array,  # (Q,)
+    *,
+    is_regressor: bool,
+) -> jax.Array:
+    """Device-resident conformal combine (ref ``_neo_ls_svm.py:554-624``):
+    two tiny matmuls against the fitted CQR planes, the per-row min-dispersion
+    choice between absolute and relative corrections, and the recentre on ŷ."""
+    abs_yhat = jnp.abs(yhat)
+    feats = jnp.stack([std, abs_yhat], axis=1) if is_regressor else std[:, None]
+    pred_abs = feats @ beta_abs[:-1] + (beta_abs[-1] + bias_abs)[None, :]
+    pred_rel = feats @ beta_rel[:-1] + (beta_rel[-1] + bias_rel)[None, :]
+    delta = jnp.stack([pred_abs, abs_yhat[:, None] * pred_rel], axis=2)  # (n, Q, 2)
+    dispersion = jnp.std(delta, axis=1)  # (n, 2)
+    pick = jnp.argmin(dispersion, axis=-1)  # ties break to "absolute", like np.argmin
+    delta_sel = jnp.take_along_axis(delta, pick[:, None, None], axis=2)[:, :, 0]
+    return yhat[:, None] + delta_sel
+
+
+@jax.jit
+def _isotonic_proba_device(
+    yhat_quantiles: jax.Array,  # (n, Q)
+    x_thresholds: jax.Array,
+    y_thresholds: jax.Array,
+) -> jax.Array:
+    """Per-quantile isotonic calibration + class stacking on device.
+
+    ``jnp.interp`` clamps to the end values, matching the host calibrator's
+    ``out_of_bounds="clip"`` with y ∈ [0, 1] thresholds. Returns (n, Q, 2)."""
+    proba = jax.vmap(lambda col: jnp.interp(col, x_thresholds, y_thresholds), in_axes=1, out_axes=1)(
+        yhat_quantiles
+    )
+    return jnp.stack([1 - proba[:, ::-1], proba], axis=2)
+
+
 def _maybe_pandas_series(values: npt.NDArray, X_df: Any) -> Any:
     if is_pandas(X_df):
         try:
@@ -145,6 +191,7 @@ class NeoLSSVM(BaseEstimator):
         estimator_type: Literal["auto", "classifier", "regressor"] = "auto",
         random_state: int | np.random.RandomState | None = 42,
         precision: Literal["high", "fast"] = "high",
+        pre_transform: Literal["host", "device"] = "host",
         mesh: Any = None,
     ) -> None:
         self.primal_feature_map = primal_feature_map
@@ -153,6 +200,7 @@ class NeoLSSVM(BaseEstimator):
         self.random_state = random_state
         self.estimator_type = estimator_type
         self.precision = precision
+        self.pre_transform = pre_transform
         self.mesh = mesh
 
     # ------------------------------------------------------------------ fitting
@@ -203,6 +251,9 @@ class NeoLSSVM(BaseEstimator):
             msg = "The sample weights are all zero; at least one weight must be positive."
             raise ValueError(msg)
         self._clear_fit_state()
+        if self.pre_transform not in ("host", "device"):
+            msg = f"pre_transform must be 'host' or 'device', got {self.pre_transform!r}."
+            raise ValueError(msg)
         # Infer the task type from the target (two classes → classifier; numeric or
         # datetime-like → regressor; ref :347-373).
         unique_y = np.unique(y)
@@ -263,15 +314,49 @@ class NeoLSSVM(BaseEstimator):
             )
             row_pad = col_pad = 0
             X_dev = None
+            X_p = X
             if route == "streaming":
                 row_pad = (-n_rows) % STREAMING_ROW_CHUNK
                 X_p = np.vstack([X, np.zeros((row_pad, X.shape[1]), X.dtype)]) if row_pad else X
-                X_dev = jax.device_put(X_p)
             elif route == "inmemory":
                 nb, db = _bucket_rows(n_rows), _bucket_features(X.shape[1])
                 row_pad, col_pad = nb - n_rows, db - X.shape[1]
                 X_p = np.pad(X, ((0, row_pad), (0, col_pad)))
+            # Opt-in fully on-device pre-transform: binning, normalizer statistics,
+            # the separator, and the ORFF draw run as one jitted program with JAX RNG
+            # — zero mid-fit host round-trips (the host path below is the bit-parity
+            # default; see ops/pretransform_device.py for the documented deviations).
+            # Applies to the single-chip primal routes with a random-Fourier feature
+            # map; the dual (n ≤ 1024) and mesh routes keep the host pre-transform.
+            from neo_ls_svm_tpu.ops.orff import RandomFourierFeatures  # noqa: PLC0415
+
+            use_device_pt = (
+                self.pre_transform == "device"
+                and route in ("streaming", "inmemory")
+                and isinstance(self.primal_feature_map_, RandomFourierFeatures)
+            )
+            if route in ("streaming", "inmemory") and not use_device_pt:
                 X_dev = jax.device_put(X_p)
+            if use_device_pt:
+                self.γs_ = gamma_grid(X.dtype, num=1024)
+                result = self._fit_primal_device_pt(
+                    X_p,
+                    X.shape,
+                    y_,
+                    sample_weight_,
+                    is_classifier=is_classifier,
+                    route=route,
+                    row_pad=row_pad,
+                    col_pad=col_pad,
+                )
+                self._pending_ctx = {
+                    "y_": y_,
+                    "sample_weight": sample_weight_,
+                    "is_classifier": is_classifier,
+                    "num_rows": X.shape[0],
+                }
+                self._pending_result = result
+                return self._finish_fit(X.shape[0], result)
             # Let the supervised pre-transform reuse the device copy of X staged above:
             # its per-bin statistics then run on the TPU (sort-free bisection medians +
             # one-hot-matmul masses) instead of B·d host argsorts, with only O(n)
@@ -450,7 +535,118 @@ class NeoLSSVM(BaseEstimator):
             "num_rows": X.shape[0],
         }
         self._pending_result = result
-        if X.shape[0] < LAZY_MATERIALIZE_MIN_ROWS:
+        return self._finish_fit(X.shape[0], result)
+
+    def _fit_primal_device_pt(
+        self,
+        X_p: npt.NDArray,
+        X_shape: tuple[int, ...],
+        y_: npt.NDArray,
+        sample_weight_: npt.NDArray,
+        *,
+        is_classifier: bool,
+        route: str,
+        row_pad: int,
+        col_pad: int,
+    ) -> dict[str, Any]:
+        """Primal fit with the fully on-device pre-transform (``pre_transform="device"``).
+
+        One batched upload (X, y, weights, γ grid), then the jitted pre-transform
+        (``ops/pretransform_device.py``) feeds the solver directly — the feature
+        matrix never returns to the host mid-fit. The fitted pre-transform state
+        rides back lazily with the observability pull (see ``_materialize_result``).
+        """
+        from neo_ls_svm_tpu.ops.pretransform_device import (  # noqa: PLC0415
+            DEVICE_PRETRANSFORM_BINS,
+            device_pre_transform,
+        )
+        from neo_ls_svm_tpu.utils.validation import check_random_state  # noqa: PLC0415
+
+        n_rows, d = X_shape
+        dtype = X_p.dtype
+        y_p = np.concatenate([y_, np.zeros(row_pad, dtype)]) if row_pad else y_
+        s_p = (
+            np.concatenate([sample_weight_, np.zeros(row_pad, dtype)])
+            if row_pad
+            else sample_weight_
+        )
+        # ONE batched transfer: every host→device copy pays ~100 ms of tunnel latency.
+        X_dev, y_d, s_d, g_d = jax.device_put((X_p, y_p, s_p, self.γs_))
+        rs = self.random_state
+        seed = (
+            int(rs)
+            if isinstance(rs, (int, np.integer))
+            else int(check_random_state(rs).randint(0, 2**31 - 1))
+        )
+        fm = self.primal_feature_map_
+        affine = fm.affine_feature_map
+        pt = device_pre_transform(
+            X_dev,
+            y_d,
+            s_d,
+            jax.random.PRNGKey(seed),
+            num_bins=2 if is_classifier else DEVICE_PRETRANSFORM_BINS,
+            num_features=int(fm.num_features),
+            edge_sample_size=int(getattr(affine, "edge_sample_size", 384)),
+            edge_search_multiplier=int(getattr(affine, "edge_search_multiplier", 4)),
+            rank_threshold=float(getattr(affine, "rank_threshold", 2e-2)),
+            is_classifier=is_classifier,
+        )
+        M_d, b_d = pt["M"], pt["b"]
+        sweep_precision = jax.lax.Precision.DEFAULT if self.precision == "fast" else None
+        if route == "streaming":
+            use_pallas = jax.devices()[0].platform == "tpu"
+            result = primal_fit_streaming(
+                X_dev,
+                M_d,
+                b_d,
+                y_d,
+                s_d,
+                g_d,
+                None,
+                is_classifier=is_classifier,
+                row_chunk=STREAMING_ROW_CHUNK,
+                num_samples=n_rows,
+                sweep_precision=sweep_precision,
+                use_pallas_gram=use_pallas,
+                use_pallas_sweep=use_pallas,
+            )
+        else:
+            result = primal_fit(
+                X_dev,
+                M_d,
+                b_d,
+                y_d,
+                s_d,
+                g_d,
+                None,
+                is_classifier=is_classifier,
+                sweep_precision=sweep_precision,
+                num_samples=n_rows,
+            )
+        if row_pad:
+            result = trim_per_row(result, n_rows)
+        M_serve = M_d[:d] if col_pad else M_d  # padded zero feature rows are inert
+        result = {
+            **result,
+            "pt_M": M_serve,
+            "pt_b": b_d,
+            **{k: pt[k] for k in ("pt_shift", "pt_scale", "pt_A", "pt_Z", "pt_folded")},
+        }
+        self._device_cache = {
+            "beta_emb": result["beta_emb"],
+            "Qs": result["Qs"],
+            "lam": result["lam"],
+            "M_map": M_serve,
+            "b_map": b_d,
+        }
+        self._inv_c0 = float(n_rows * (int(fm.num_features) + 1))
+        return result
+
+    def _finish_fit(self, num_rows: int, result: dict[str, Any]) -> "NeoLSSVM":
+        """Shared fit epilogue: eager materialisation for small fits, else the 8-byte
+        fingerprint barrier that blocks until every kernel in the fit graph ran."""
+        if num_rows < LAZY_MATERIALIZE_MIN_ROWS:
             # Small fits: the host copy is cheap — pull everything now in one batch.
             # (This also keeps sklearn's check_dict_unchanged green: __dict__ is final
             # when fit returns for the tiny inputs check_estimator drives.)
@@ -497,6 +693,23 @@ class NeoLSSVM(BaseEstimator):
             self._eig_Qs = result["Qs"]
             self._eig_lam = result["lam"]
             self.loo_leverage_ = result["loo_leverage"]
+            if "pt_M" in result:
+                # pre_transform="device": the fitted pre-transform state was computed
+                # on device; populate the host feature-map/serving attributes from the
+                # batched pull (padding feature columns sliced away).
+                d = self.n_features_in_
+                self._M_map = result["pt_M"]
+                self._b_map = result["pt_b"]
+                fm = self.primal_feature_map_
+                affine = fm.affine_feature_map
+                affine.n_features_in_ = d
+                affine.shift_ = result["pt_shift"][:, :d]
+                affine.scale_ = result["pt_scale"][:, :d]
+                affine.A_ = result["pt_folded"][:d]
+                fm.n_features_in_ = d
+                fm.Z_ = result["pt_Z"]
+                fm.prefold_A_ = result["pt_A"][:d]
+                fm.folded_A_ = result["pt_folded"][:d]
         else:
             self.α̂_ = result["alpha"]
             self._chol = result["chol"]
@@ -618,14 +831,23 @@ class NeoLSSVM(BaseEstimator):
             msg = f"Expected 2D array, got {X.ndim}D device array instead."
             raise ValueError(msg)
         _check_n_features(self, X)
-        # The host-side model state may be f64 while the device runs f32 (x64 off):
-        # canonicalize so the cast matches what the device programs actually use.
-        compute_dtype = jax.dtypes.canonicalize_dtype(
-            (self._M_map if self.primal_ else self.X_).dtype
-        )
+        compute_dtype = self._compute_dtype()
         if X.dtype != compute_dtype:
             X = X.astype(compute_dtype)
         return X
+
+    def _compute_dtype(self) -> Any:
+        """The dtype the device programs actually run in.
+
+        Prefers the device-cache copy (which exists before the lazy materialise pull
+        in ``pre_transform="device"`` fits); the host-side model state may be f64
+        while the device runs f32 (x64 off), so the dtype is canonicalized.
+        """
+        cache = self.__dict__.get("_device_cache", {})
+        arr = cache.get("M_map" if self.primal_ else "X_train")
+        if arr is None:
+            arr = self._M_map if self.primal_ else self.X_
+        return jax.dtypes.canonicalize_dtype(arr.dtype)
 
     def _primal_decision_device(self, X_c: jax.Array) -> jax.Array:
         """ŷ for one device-resident chunk (shared by the host and device paths)."""
@@ -787,6 +1009,78 @@ class NeoLSSVM(BaseEstimator):
         self.conformal_l2_[target_type][key] = bias_l2
         return cqr_l1, bias_l2
 
+    def _conformal_device_params(
+        self, quantiles: npt.NDArray, priority: str
+    ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+        """Stage the fitted conformal planes on device, once per (quantiles, priority).
+
+        The level-1/level-2 fits themselves stay host-side (two tiny HiGHS LPs, fit
+        lazily once per quantile tuple, ref ``:489-532``); what serving needs from them
+        is only the (F+1)×Q coefficient planes and the Q biases, uploaded here in ONE
+        batched transfer and cached so steady-state serving never touches the host.
+        """
+        key = ("conformal_dev", tuple(float(q) for q in quantiles), priority)
+        cache = self.__dict__.setdefault("_device_cache", {})
+        if key not in cache:
+            cqr_abs, bias_abs = self._lazily_fit_conformal_predictor("Δŷ", quantiles)
+            cqr_rel, bias_rel = self._lazily_fit_conformal_predictor("Δŷ/ŷ", quantiles)
+            bias_abs, bias_rel = bias_abs.copy(), bias_rel.copy()
+            if priority == "coverage":
+                # Only allow outward quantile expansion when coverage has priority.
+                upper, lower = 0.5 <= quantiles, quantiles <= 0.5
+                bias_abs[upper] = np.maximum(bias_abs[upper], 0)
+                bias_abs[lower] = np.minimum(bias_abs[lower], 0)
+                bias_rel[upper] = np.maximum(bias_rel[upper], 0)
+                bias_rel[lower] = np.minimum(bias_rel[lower], 0)
+            dtype = self._compute_dtype()
+            cache[key] = jax.device_put(
+                tuple(
+                    np.asarray(a, dtype)
+                    for a in (cqr_abs.β_, bias_abs, cqr_rel.β_, bias_rel)
+                )
+            )
+        return cache[key]
+
+    def _predict_quantiles_device(
+        self, X: jax.Array, quantiles: npt.NDArray, priority: str
+    ) -> jax.Array:
+        """Device-resident quantile serving: ``jax.Array`` in → ``jax.Array`` out.
+
+        Same jax.Array contract as :meth:`decision_function` (ref path:
+        ``_neo_ls_svm.py:554-624``): after the one-time conformal fit + upload, a call
+        is two chunked device programs (ŷ and σ) plus one fused combine — zero
+        device→host round-trips. Regressors return (n, |quantiles|); classifiers
+        return the (n, |quantiles|, 2) calibrated probability tensor.
+        """
+        X_d = self._validate_device_X(X)
+        beta_abs, bias_abs, beta_rel, bias_rel = self._conformal_device_params(
+            quantiles, priority
+        )
+        yhat = self.decision_function(X_d)
+        std = self.predict_std(X_d)
+        yhat_quantiles = _conformal_quantiles_device(
+            yhat,
+            std,
+            beta_abs,
+            bias_abs,
+            beta_rel,
+            bias_rel,
+            is_regressor=self._estimator_type == "regressor",
+        )
+        if self._estimator_type == "classifier":
+            cache = self.__dict__.setdefault("_device_cache", {})
+            if "iso_thresholds" not in cache:
+                calibrator = self.predict_proba_calibrator_
+                cache["iso_thresholds"] = jax.device_put(
+                    (
+                        np.asarray(calibrator.X_thresholds_, yhat.dtype),
+                        np.asarray(calibrator.y_thresholds_, yhat.dtype),
+                    )
+                )
+            x_thr, y_thr = cache["iso_thresholds"]
+            return _isotonic_proba_device(yhat_quantiles, x_thr, y_thr)
+        return yhat_quantiles
+
     def predict_quantiles(
         self,
         X: Any,
@@ -794,8 +1088,15 @@ class NeoLSSVM(BaseEstimator):
         quantiles: npt.ArrayLike = (0.025, 0.5, 0.975),
         priority: Literal["accuracy", "coverage"] = "accuracy",
     ) -> Any:
-        """Predict conformally calibrated quantiles (ref ``:554-624``)."""
+        """Predict conformally calibrated quantiles (ref ``:554-624``).
+
+        A ``jax.Array`` input stays resident: the calibrated quantiles (or the
+        classifier probability tensor) come back as a ``jax.Array`` with no host
+        round-trip (see :meth:`_predict_quantiles_device`).
+        """
         check_is_fitted(self, ["γ_"])
+        if isinstance(X, jax.Array):
+            return self._predict_quantiles_device(X, np.asarray(quantiles), priority)
         X_df = X
         X = _check_n_features(self, check_array(X, dtype=(np.float64, np.float32)))
         yhat = self.decision_function(X)

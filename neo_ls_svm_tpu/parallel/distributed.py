@@ -8,10 +8,11 @@ across slices — the layout ``jax.experimental.mesh_utils.create_hybrid_device_
 produces. No hand-written communication backend exists or is needed: GSPMD/shard_map
 emit the collectives.
 
-This environment exposes one single-process TPU chip, so the multi-process path is
-exercised only as a no-op here (see tests/test_sharding.py); the helpers follow the
-documented jax.distributed contract and are hardware-validated only in the sense that
-the single-slice fallback is.
+The multi-process path is executed for real by ``tests/test_multiprocess.py``: two
+CPU processes form the global runtime over a localhost coordinator, build a
+cross-process mesh, and run both sharded fits SPMD-style with parity against a
+single-process oracle. Real DCN-spanning pod slices additionally need multi-host TPU
+hardware, unavailable here.
 """
 
 from typing import Any, Sequence
@@ -20,8 +21,6 @@ import jax
 from jax.sharding import Mesh
 
 from neo_ls_svm_tpu.parallel.mesh import make_mesh
-
-_initialized = False
 
 
 def initialize_distributed(
@@ -35,11 +34,12 @@ def initialize_distributed(
     Single-process usage (all arguments None, no cluster environment) is a no-op, so
     library code may call this unconditionally. On TPU pods launched through a cluster
     scheduler (GKE/Borg-style), ``jax.distributed.initialize()`` auto-detects every
-    argument; othewise pass them explicitly, one call per process, BEFORE any other
-    JAX API touches the backend.
+    argument; otherwise pass them explicitly, one call per process, BEFORE any other
+    JAX API touches the backend. Idempotent: the runtime's own initialisation state is
+    consulted (not a process-global flag), so a runtime initialised by the caller
+    directly through ``jax.distributed.initialize`` is also recognised.
     """
-    global _initialized
-    if _initialized:
+    if jax.distributed.is_initialized():
         return False
     if all(v is None for v in (coordinator_address, num_processes, process_id)):
         # Plain single-process run. (Cluster schedulers that want auto-detection
@@ -53,7 +53,6 @@ def initialize_distributed(
         process_id=process_id,
         local_device_ids=local_device_ids,
     )
-    _initialized = True
     return True
 
 

@@ -71,6 +71,52 @@ def test_device_f32_input_casts_to_model_dtype() -> None:
 
 
 @pytest.mark.parametrize("n", [1600, 700])  # primal and dual routes
+def test_device_quantiles_match_host(n) -> None:
+    """Conformal quantile/interval serving stays on device and matches the host path."""
+    X, y = make_regression_dataset(n=n, seed=27)
+    model = NeoLSSVM().fit(X, y)
+    X_dev = jnp.asarray(X[:200])
+    quantiles = (0.05, 0.5, 0.95)
+    host_q = model.predict_quantiles(X[:200], quantiles=quantiles)
+    dev_q = model.predict_quantiles(X_dev, quantiles=quantiles)
+    assert isinstance(dev_q, jax.Array), "predict_quantiles must stay on device"
+    np.testing.assert_allclose(np.asarray(dev_q), host_q, rtol=1e-10, atol=1e-12)
+    host_i = model.predict_interval(X[:200], coverage=0.9)
+    dev_i = model.predict_interval(X_dev, coverage=0.9)
+    assert isinstance(dev_i, jax.Array), "predict_interval must stay on device"
+    np.testing.assert_allclose(np.asarray(dev_i), host_i, rtol=1e-10, atol=1e-12)
+    # Steady-state serving reuses the staged conformal planes (no refit, no re-upload).
+    key = ("conformal_dev", tuple(float(q) for q in quantiles), "accuracy")
+    assert key in model._device_cache
+    # predict(X, coverage=...) routes through the device path too.
+    dev_p = model.predict(X_dev, coverage=0.9)
+    assert isinstance(dev_p, jax.Array)
+    np.testing.assert_allclose(np.asarray(dev_p), np.asarray(dev_i), rtol=1e-12)
+
+
+def test_device_quantiles_classifier_proba_tensor() -> None:
+    X, y = make_classification_dataset(n=1600, seed=28)
+    model = NeoLSSVM().fit(X, y)
+    X_dev = jnp.asarray(X[:150])
+    host_q = model.predict_quantiles(X[:150], quantiles=(0.25, 0.75))
+    dev_q = model.predict_quantiles(X_dev, quantiles=(0.25, 0.75))
+    assert isinstance(dev_q, jax.Array)
+    assert dev_q.shape == (150, 2, 2)
+    np.testing.assert_allclose(np.asarray(dev_q), host_q, rtol=1e-10, atol=1e-12)
+
+
+def test_device_quantiles_coverage_priority_clamps() -> None:
+    X, y = make_regression_dataset(n=1600, seed=29)
+    model = NeoLSSVM().fit(X, y)
+    X_dev = jnp.asarray(X[:100])
+    host_i = model.predict_quantiles(
+        X[:100], quantiles=(0.1, 0.9), priority="coverage"
+    )
+    dev_i = model.predict_quantiles(X_dev, quantiles=(0.1, 0.9), priority="coverage")
+    np.testing.assert_allclose(np.asarray(dev_i), host_i, rtol=1e-10, atol=1e-12)
+
+
+@pytest.mark.parametrize("n", [1600, 700])  # primal and dual routes
 def test_device_prediction_after_restore(n) -> None:
     """Device-resident prediction must work on a model restored from a state dict
     (the device cache re-stages from host state on first use)."""

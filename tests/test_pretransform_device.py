@@ -1,0 +1,122 @@
+"""The fully on-device pre-transform (``NeoLSSVM(pre_transform="device")``).
+
+The device pipeline redesigns the supervised pre-transform for zero mid-fit host
+round-trips (JAX RNG, equal-mass binning — ops/pretransform_device.py documents the
+deviations), so these tests gate *statistical* parity with the bit-exact host path:
+scores within noise, state population, and route coverage — not elementwise equality.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import neo_ls_svm_tpu.models.estimator as est_mod
+from neo_ls_svm_tpu import NeoLSSVM
+
+from .conftest import make_classification_dataset, make_regression_dataset
+
+
+def test_regression_score_matches_host_within_noise() -> None:
+    X, y = make_regression_dataset(n=4000, seed=31)
+    host = NeoLSSVM().fit(X[:3000], y[:3000])
+    dev = NeoLSSVM(pre_transform="device").fit(X[:3000], y[:3000])
+    s_host = host.score(X[3000:], y[3000:])
+    s_dev = dev.score(X[3000:], y[3000:])
+    assert abs(s_host - s_dev) < 0.05, (s_host, s_dev)
+    assert abs(host.loo_score_ - dev.loo_score_) < 0.05
+
+
+def test_classifier_score_matches_host_within_noise() -> None:
+    X, y = make_classification_dataset(n=4000, seed=32)
+    host = NeoLSSVM().fit(X[:3000], y[:3000])
+    dev = NeoLSSVM(pre_transform="device").fit(X[:3000], y[:3000])
+    s_host = host.score(X[3000:], y[3000:])
+    s_dev = dev.score(X[3000:], y[3000:])
+    assert abs(s_host - s_dev) < 0.05, (s_host, s_dev)
+    # The full downstream stack runs off the device-fitted map.
+    proba = dev.predict_proba(X[3000:3050])
+    assert proba.shape == (50, 2)
+    np.testing.assert_allclose(proba.sum(axis=1), 1.0, atol=1e-9)
+
+
+def test_streaming_route(monkeypatch) -> None:
+    monkeypatch.setattr(est_mod, "STREAMING_BYTES_THRESHOLD", 1)
+    monkeypatch.setattr(est_mod, "STREAMING_ROW_CHUNK", 1024)
+    X, y = make_regression_dataset(n=3000, seed=33)
+    dev = NeoLSSVM(pre_transform="device").fit(X[:2500], y[:2500])
+    assert dev.score(X[2500:], y[2500:]) > 0.8
+
+
+def test_fitted_state_serves_all_paths() -> None:
+    """The materialised pre-transform state must be self-consistent: the affine/ORFF
+    attributes reproduce the linear map the solver used, serving works host- and
+    device-side, and serialization round-trips."""
+    X, y = make_regression_dataset(n=3000, seed=34)
+    dev = NeoLSSVM(pre_transform="device").fit(X[:2500], y[:2500])
+    fm = dev.primal_feature_map_
+    affine = fm.affine_feature_map
+    # (X - shift)/scale @ A_ == X @ M + b (same linear map, different association).
+    U_affine = ((X[:10] - affine.shift_) / affine.scale_) @ affine.A_
+    U_map = X[:10] @ dev._M_map + dev._b_map
+    np.testing.assert_allclose(U_affine, U_map, rtol=1e-8, atol=1e-10)
+    # Host complex transform is consistent with the fitted map.
+    phi = fm.transform(X[:10])
+    assert phi.shape == (10, fm.num_features + 1)
+    np.testing.assert_allclose(np.abs(phi[:, :-1]), 1 / np.sqrt(fm.num_features), rtol=1e-9)
+    # Device-resident serving and the state-dict round-trip.
+    dev_pred = dev.predict(jnp.asarray(X[2500:]))
+    assert isinstance(dev_pred, jax.Array)
+    np.testing.assert_allclose(np.asarray(dev_pred), dev.predict(X[2500:]), rtol=1e-8)
+    restored = NeoLSSVM.from_state_dict(dev.to_state_dict())
+    np.testing.assert_allclose(restored.predict(X[2500:]), dev.predict(X[2500:]), rtol=1e-12)
+
+
+def test_lazy_materialisation_keeps_device_serving(monkeypatch) -> None:
+    """Above the lazy threshold the pre-transform state stays on device until first
+    attribute access; device serving must work before the pull."""
+    monkeypatch.setattr(est_mod, "LAZY_MATERIALIZE_MIN_ROWS", 100)
+    X, y = make_regression_dataset(n=3000, seed=35)
+    dev = NeoLSSVM(pre_transform="device").fit(X[:2500], y[:2500])
+    assert dev.__dict__.get("_pending_result") is not None
+    pred = dev.decision_function(jnp.asarray(X[2500:2600]))
+    assert isinstance(pred, jax.Array)
+    assert dev.__dict__.get("_pending_result") is not None, "device serving must not pull"
+    # First observability access pulls everything in one batch.
+    assert np.isfinite(dev.loo_score_)
+    assert dev.__dict__.get("_pending_result") is None
+    np.testing.assert_allclose(np.asarray(pred), dev.decision_function(X[2500:2600]), rtol=1e-8)
+
+
+def test_near_constant_target_degrades_to_identity_metric() -> None:
+    """>99% of the mass in one value → a single populated bin → the separator is
+    undefined; the device path degrades to the unsupervised identity metric
+    (host-path analogue: the 1-bin early exit)."""
+    gen = np.random.RandomState(36)
+    X = gen.randn(2000, 4)
+    y = np.zeros(2000)
+    y[:10] = np.arange(10, dtype=float) + 1  # >2 unique values → regressor
+    model = NeoLSSVM(pre_transform="device").fit(X, y)
+    assert np.isfinite(model.loo_score_)
+    np.testing.assert_allclose(model.primal_feature_map_.affine_feature_map.scale_, 1.0)
+
+
+def test_dual_route_keeps_host_pre_transform() -> None:
+    X, y = make_regression_dataset(n=700, seed=37)
+    host = NeoLSSVM().fit(X, y)
+    dev = NeoLSSVM(pre_transform="device").fit(X, y)  # n ≤ 1024 → dual → host path
+    np.testing.assert_allclose(dev.predict(X[:20]), host.predict(X[:20]), rtol=1e-12)
+
+
+def test_invalid_pre_transform_raises() -> None:
+    X, y = make_regression_dataset(n=200, seed=38)
+    with pytest.raises(ValueError, match="pre_transform"):
+        NeoLSSVM(pre_transform="gpu").fit(X, y)
+
+
+def test_get_params_roundtrip() -> None:
+    model = NeoLSSVM(pre_transform="device")
+    assert model.get_params()["pre_transform"] == "device"
+    from neo_ls_svm_tpu.utils.base import clone
+
+    assert clone(model).pre_transform == "device"
