@@ -406,11 +406,20 @@ class NeoLSSVM(BaseEstimator):
                 )
 
                 num_data = self.mesh.shape["data"]
-                sharded_fit = (
-                    sharded_primal_fit_streaming
-                    if working_set_bytes / num_data > STREAMING_BYTES_THRESHOLD
-                    else sharded_primal_fit
-                )
+                stream_over_mesh = working_set_bytes / num_data > STREAMING_BYTES_THRESHOLD
+                extra_kwargs: dict[str, Any] = {}
+                if stream_over_mesh:
+                    sharded_fit = sharded_primal_fit_streaming
+                    # Each chip runs the same fused Mosaic kernels the single-chip
+                    # streaming fit defaults to on TPU.
+                    mesh_platform = next(iter(self.mesh.devices.flat)).platform
+                    use_pallas = mesh_platform == "tpu"
+                    extra_kwargs = {
+                        "use_pallas_gram": use_pallas and C_emb is None,
+                        "use_pallas_sweep": use_pallas,
+                    }
+                else:
+                    sharded_fit = sharded_primal_fit
                 result = sharded_fit(
                     self.mesh,
                     X,
@@ -422,6 +431,7 @@ class NeoLSSVM(BaseEstimator):
                     None if C_emb is None else np.asarray(C_emb),
                     is_classifier=is_classifier,
                     sweep_precision=sweep_precision,
+                    **extra_kwargs,
                 )
             elif route == "streaming":
                 y_p = np.concatenate([y_, np.zeros(row_pad, X.dtype)]) if row_pad else y_

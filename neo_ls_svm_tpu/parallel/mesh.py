@@ -145,6 +145,9 @@ def sharded_primal_fit_streaming(
     row_chunk: int = 16384,
     precision: "jax.lax.Precision" = jax.lax.Precision.HIGHEST,
     sweep_precision: "jax.lax.Precision | None" = None,
+    use_pallas_gram: bool = False,
+    use_pallas_sweep: bool = False,
+    pallas_interpret: bool = False,
 ) -> dict[str, jax.Array]:
     """Row-sharded *streaming* primal fit: O(row_chunk·2M) memory **per chip**.
 
@@ -161,9 +164,21 @@ def sharded_primal_fit_streaming(
 
     The 2M×2M eigh, γ selection, and Cholesky re-solve replicate on every chip
     (D³ is tiny); pass-3 per-row statistics are purely local and return sharded.
+
+    With ``use_pallas_gram``/``use_pallas_sweep`` each chip runs the same fused
+    Mosaic kernels the single-chip streaming fit defaults to on TPU
+    (``ops/pallas/gram.py``, ``ops/pallas/sweep.py``): pallas_call composes with
+    shard_map, so the kernel sees the chip-local row shard and the cross-chip
+    reduction stays the one psum. ``pallas_interpret`` runs the kernels in the Pallas
+    interpreter (for CPU-mesh tests/dryruns where Mosaic cannot lower). The Pallas
+    gram path requires the identity complexity matrix (``C_emb is None``) — same gate
+    as the single-chip route.
     """
     if sweep_precision is None:
         sweep_precision = precision
+    if use_pallas_gram and C_emb is not None:
+        msg = "use_pallas_gram requires the identity complexity matrix (C_emb=None)."
+        raise ValueError(msg)
     n = X.shape[0]
     num_data = mesh.shape["data"]
     # Each chip's local rows must tile into row_chunk-sized scan steps.
@@ -182,6 +197,16 @@ def sharded_primal_fit_streaming(
     # argument would not match shard_map's in_specs pytree.
     C_d = None if C_emb is None else jnp.asarray(np.asarray(C_emb))
 
+    # The Pallas kernels need their row blocks to tile the chip-local shard; fall
+    # back to the XLA scans when the chunking cannot provide that.
+    def _pallas_block(cap: int) -> int | None:
+        if row_chunk <= cap:
+            return row_chunk
+        return cap if row_chunk % cap == 0 else None
+
+    gram_block = _pallas_block(256) if use_pallas_gram else None
+    sweep_block = _pallas_block(128) if use_pallas_sweep else None
+
     def body(X_l, M_d, b_d, y_l, w_l, g_d):
         total_w = jax.lax.psum(jnp.sum(w_l), "data")
         s_l = w_l / total_w
@@ -193,19 +218,33 @@ def sharded_primal_fit_streaming(
         s2c = s2_l.reshape(nb, row_chunk)
         sign = jnp.concatenate([jnp.ones((M,), dtype), -jnp.ones((M,), dtype)])
 
-        # Pass 1: local augmented-Gram scan, then ONE cross-chip psum.
-        def gram_step(acc, chunk):
-            X_b, y_b, s2_b = chunk
-            W_b = _features_real_pair(X_b, M_d, b_d, precision=precision)
-            Y_b = jnp.concatenate([W_b, y_b[:, None]], axis=1)
-            return acc + jnp.dot(Y_b.T * s2_b[None, :], Y_b, precision=precision), None
+        # Pass 1: local augmented Gram (fused Pallas kernel or XLA scan), then ONE
+        # cross-chip psum.
+        if gram_block is not None:
+            from neo_ls_svm_tpu.ops.pallas.gram import (  # noqa: PLC0415
+                fused_augmented_gram,
+                w_basis_from_augmented,
+            )
 
-        G_aug_local, _ = jax.lax.scan(
-            gram_step, jnp.zeros((M2 + 1, M2 + 1), dtype), (Xc, yc, s2c)
-        )
-        G_aug = jax.lax.psum(G_aug_local, "data")
-        G = G_aug[:M2, :M2]
-        b_vec = G_aug[:M2, M2]
+            G_aug_local = fused_augmented_gram(
+                X_l, M_d, b_d, s2_l, y_l, block_rows=gram_block, interpret=pallas_interpret
+            )
+            G_aug_k = jax.lax.psum(G_aug_local, "data")
+            G, b_vec = w_basis_from_augmented(G_aug_k, D)
+        else:
+
+            def gram_step(acc, chunk):
+                X_b, y_b, s2_b = chunk
+                W_b = _features_real_pair(X_b, M_d, b_d, precision=precision)
+                Y_b = jnp.concatenate([W_b, y_b[:, None]], axis=1)
+                return acc + jnp.dot(Y_b.T * s2_b[None, :], Y_b, precision=precision), None
+
+            G_aug_local, _ = jax.lax.scan(
+                gram_step, jnp.zeros((M2 + 1, M2 + 1), dtype), (Xc, yc, s2c)
+            )
+            G_aug = jax.lax.psum(G_aug_local, "data")
+            G = G_aug[:M2, :M2]
+            b_vec = G_aug[:M2, M2]
         B = embed_from_gram_blocks(G, M)
         lam, Qs, inv_c0 = _eigendecompose(
             B, C_d, jnp.asarray(inv_c0_in, dtype), sign
@@ -213,22 +252,46 @@ def sharded_primal_fit_streaming(
         k = jnp.dot(Qs.T, b_vec, precision=precision)
         r_all = 1.0 / (g_d[None, :] + lam[:, None])
 
-        # Pass 2: local γ-sweep partials, then ONE psum of the grid objective.
-        def sweep_step(acc, chunk):
-            X_b, y_b, s_b, s2_b = chunk
-            W_b = _features_real_pair(X_b, M_d, b_d, precision=precision)
-            Gu_b = jnp.dot(W_b, Qs, precision=sweep_precision)
-            num = inv_c0 * jnp.dot(Gu_b * k[None, :], r_all, precision=sweep_precision)
-            lev = inv_c0 * s2_b[:, None] * jnp.dot(Gu_b * Gu_b, r_all, precision=sweep_precision)
-            e = (num - y_b[:, None]) / (1.0 - lev)
-            e = _clip_classifier_residuals(e, y_b, is_classifier)
-            loo_err_b, obj_b = _sweep_objective(e, s_b, is_classifier)
-            return (acc[0] + loo_err_b, acc[1] + obj_b), None
+        # Pass 2: local γ-sweep partials (fused Pallas kernel or XLA scan), then ONE
+        # psum of the grid objective.
+        if sweep_block is not None:
+            from neo_ls_svm_tpu.ops.pallas.sweep import fused_loo_sweep  # noqa: PLC0415
 
-        zeros_g = jnp.zeros(g_d.shape[0], dtype)
-        (loo_err_local, obj_local), _ = jax.lax.scan(
-            sweep_step, (zeros_g, zeros_g), (Xc, yc, sc, s2c)
-        )
+            loo_err_local, obj_local = fused_loo_sweep(
+                X_l,
+                M_d,
+                b_d,
+                y_l,
+                s_l,
+                s2_l,
+                Qs,
+                r_all,
+                k,
+                block_rows=sweep_block,
+                is_classifier=is_classifier,
+                inv_c0_static=inv_c0_in if C_d is None else 1.0,
+                mxu_precision=sweep_precision,
+                interpret=pallas_interpret,
+            )
+        else:
+
+            def sweep_step(acc, chunk):
+                X_b, y_b, s_b, s2_b = chunk
+                W_b = _features_real_pair(X_b, M_d, b_d, precision=precision)
+                Gu_b = jnp.dot(W_b, Qs, precision=sweep_precision)
+                num = inv_c0 * jnp.dot(Gu_b * k[None, :], r_all, precision=sweep_precision)
+                lev = inv_c0 * s2_b[:, None] * jnp.dot(
+                    Gu_b * Gu_b, r_all, precision=sweep_precision
+                )
+                e = (num - y_b[:, None]) / (1.0 - lev)
+                e = _clip_classifier_residuals(e, y_b, is_classifier)
+                loo_err_b, obj_b = _sweep_objective(e, s_b, is_classifier)
+                return (acc[0] + loo_err_b, acc[1] + obj_b), None
+
+            zeros_g = jnp.zeros(g_d.shape[0], dtype)
+            (loo_err_local, obj_local), _ = jax.lax.scan(
+                sweep_step, (zeros_g, zeros_g), (Xc, yc, sc, s2c)
+            )
         loo_errors_gs = jax.lax.psum(loo_err_local, "data")
         objective = jax.lax.psum(obj_local, "data")
         optimum = jnp.argmin(objective)
@@ -322,6 +385,9 @@ def sharded_primal_fit_streaming(
         sweep_precision,
         inv_c0_in,
         c_fingerprint,
+        gram_block,
+        sweep_block,
+        pallas_interpret,
     )
     fit_fn = _STREAMING_FIT_CACHE.get(cache_key)
     if fit_fn is None:

@@ -29,3 +29,13 @@ def test_bench_smoke_json_line() -> None:
     assert payload["phases"]["host_prep_s"] > 0
     assert payload["phases"]["predict_s"] > 0  # serving-path metric
     assert payload["phases"]["predict_rows_per_s"] > 0
+    # Extra recorded lanes (device-resident serving + alternate fit modes) ride in
+    # "extra_metrics"; each succeeds (has a value) or records its error string.
+    lanes = {m["metric"]: m for m in payload["extra_metrics"]}
+    for name in (
+        "predict_device_resident_n2048",
+        "fit_fast_precision_n2048",
+        "fit_device_pretransform_n2048",
+    ):
+        assert name in lanes, lanes.keys()
+        assert lanes[name].get("value", 0) > 0, lanes[name]

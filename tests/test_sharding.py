@@ -88,6 +88,43 @@ def test_sharded_streaming_fit_matches_single_device(mesh_shape) -> None:
     assert float(sharded["loo_score"]) == pytest.approx(float(single["loo_score"]), rel=1e-9)
 
 
+def test_sharded_streaming_pallas_matches_xla() -> None:
+    """The per-chip fused Pallas kernels (interpreter mode on the CPU mesh) must
+    reproduce the sharded XLA streaming fit — the sharded-route mirror of bench.py's
+    hardware ``pallas_value_check``."""
+    X, y = make_regression_dataset(n=1536, seed=45)
+    s = np.ones_like(y)
+    fmap = OrthogonalRandomFourierFeatures(num_features=64).fit(X, y, s)
+    M_map, b_map = fmap.linear_map()
+    gammas = gamma_grid(np.float64)
+    mesh = make_mesh(num_data=8, num_feature=1)
+    kwargs = dict(is_classifier=False, row_chunk=64)
+    xla = sharded_primal_fit_streaming(mesh, X, M_map, b_map, y, s, gammas, **kwargs)
+    pallas = sharded_primal_fit_streaming(
+        mesh, X, M_map, b_map, y, s, gammas,
+        use_pallas_gram=True, use_pallas_sweep=True, pallas_interpret=True, **kwargs,
+    )
+    assert float(pallas["gamma"]) == pytest.approx(float(xla["gamma"]), rel=1e-9)
+    for key in ("loo_residuals", "beta_emb", "loo_errors_gammas", "loo_std"):
+        np.testing.assert_allclose(
+            np.asarray(pallas[key]), np.asarray(xla[key]), rtol=1e-6, atol=1e-12
+        )
+
+
+def test_sharded_streaming_pallas_rejects_custom_complexity() -> None:
+    X, y = make_regression_dataset(n=256, seed=46)
+    s = np.ones_like(y)
+    fmap = OrthogonalRandomFourierFeatures(num_features=16).fit(X, y, s)
+    M_map, b_map = fmap.linear_map()
+    mesh = make_mesh(num_data=8, num_feature=1)
+    C = np.eye(2 * 17) * 2.0
+    with pytest.raises(ValueError, match="identity complexity"):
+        sharded_primal_fit_streaming(
+            mesh, X, M_map, b_map, y, s, gamma_grid(np.float64), C,
+            is_classifier=False, use_pallas_gram=True,
+        )
+
+
 def test_estimator_mesh_auto_streams_when_working_set_large(monkeypatch) -> None:
     """NeoLSSVM(mesh=...) routes to the sharded streaming fit above the per-chip
     working-set threshold."""
