@@ -36,6 +36,7 @@ import jax
 import jax.numpy as jnp
 
 from neo_ls_svm_tpu.ops.affine import _normalizer_stats_device
+from neo_ls_svm_tpu.ops.weighted_quantile import weighted_quantile_jax
 
 DEVICE_PRETRANSFORM_BINS = 8  # Equal-mass target bins for regression (see module doc).
 
@@ -53,11 +54,8 @@ def _target_codes(
     if is_classifier:
         codes = (y > 0).astype(jnp.int32)
     else:
-        order = jnp.argsort(y)
-        cw = jnp.cumsum(w[order])
         probs = jnp.arange(1, num_bins, dtype=y.dtype) / num_bins
-        idx = jnp.searchsorted(cw, probs * cw[-1], side="left")
-        edges = y[order][jnp.clip(idx, 0, y.shape[0] - 1)]
+        edges = weighted_quantile_jax(y, w, probs)  # monotone in q → sorted
         codes = jnp.searchsorted(edges, y, side="right").astype(jnp.int32)
     codes = jnp.where(w > 0, codes, num_bins)
     onehot = (codes[:, None] == jnp.arange(num_bins, dtype=jnp.int32)[None, :]).astype(y.dtype)

@@ -52,21 +52,27 @@ def test_cqr_exact_matches_lp_optimum(quantiles) -> None:
 
 
 def test_cqr_smooth_close_to_lp_optimum() -> None:
-    # The jitted Newton (device/scale) path must stay within ~1.5% of the LP optimum.
+    # The jitted Newton (device/scale) path must stay within 0.5% of the LP optimum.
+    # (Measured: the residual gap is ~0.3% and is entirely the *box* monotonicity
+    # constraint — a strictly stronger guarantee the LP does not enforce; with
+    # train-row-only monotonicity the solver reaches the LP optimum to ~0.001%.)
     quantiles = np.asarray((0.05, 0.25, 0.5, 0.75, 0.95))
     X, y = _make_cqr_problem()
     ours = CoherentLinearQuantileRegressor(quantiles=quantiles, method="smooth").fit(X, y)
     theirs = RefCQR(quantiles=quantiles).fit(X, y)
     pred_ours = ours.predict(X)
     pred_ref = theirs.predict(X)
-    # Note the smooth path solves a *more* constrained problem (box monotonicity
-    # instead of train-row monotonicity), so the LP optimum is a lower bound it
-    # cannot always hit.
     loss_ours = _pinball(y, pred_ours, quantiles)
     loss_ref = _pinball(y, pred_ref, quantiles)
-    assert loss_ours <= loss_ref * 1.015
+    assert loss_ours <= loss_ref * 1.005
     scale = np.std(y)
-    assert np.median(np.abs(pred_ours - pred_ref)) < 0.1 * scale
+    assert np.median(np.abs(pred_ours - pred_ref)) < 0.06 * scale
+    # Convergence diagnostics: the continuation reports its stages and pinball trace.
+    diag = ours.solver_diagnostics_
+    assert diag["solver"] == "smooth_newton"
+    assert diag["stages"] >= 4
+    assert diag["pinball"] == pytest.approx(min(diag["pinball_trace"]))
+    assert np.all(np.diff(diag["pinball_trace"]) <= 0)  # monotone improvement
 
 
 def test_cqr_monotone_on_training_data() -> None:
@@ -169,7 +175,7 @@ def test_smooth_tolerates_zero_columns() -> None:
     beta_e, _ = coherent_linear_quantile_regression(X, y, quantiles=quantiles, method="exact")
     pin_s = _pinball(y, X @ beta_s, quantiles)
     pin_e = _pinball(y, X @ beta_e, quantiles)
-    assert pin_s <= pin_e * 1.05
+    assert pin_s <= pin_e * 1.005
 
 
 def test_smooth_without_intercept_matches_objective() -> None:
@@ -185,4 +191,4 @@ def test_smooth_without_intercept_matches_objective() -> None:
     pin_s = _pinball(y, X @ beta_s, quantiles)
     pin_e = _pinball(y, X @ beta_e, quantiles)
     assert np.all(np.isfinite(beta_s))
-    assert pin_s <= pin_e * 1.05
+    assert pin_s <= pin_e * 1.005
