@@ -278,6 +278,37 @@ def main() -> None:
                 f"({n / dev_predict_s:,.0f} rows/s)",
                 file=sys.stderr,
             )
+            # Host-path predict floor analysis: the host path is upload + device
+            # compute + pull; the transfer share quantifies how much of predict_s is
+            # tunnel-bound (irreducible without moving the data pipeline on device —
+            # which the device-resident lane above measures).
+            import jax
+            import jax.numpy as jnp
+
+            t0 = time.perf_counter()
+            X_d = jax.device_put(X)
+            jax.device_get(jnp.sum(X_d[0]))  # scalar-pull completion barrier
+            upload_s = time.perf_counter() - t0
+            host_predict_s = phases.get("predict_s", float("nan"))
+            transfer_s = max(host_predict_s - dev_predict_s, 0.0)
+            extra_metrics.append(
+                {
+                    "metric": f"predict_host_floor_analysis_n{n}",
+                    "host_predict_s": host_predict_s,
+                    "upload_s": round(upload_s, 4),
+                    "device_s": round(dev_predict_s, 4),
+                    "transfer_bound_frac": round(transfer_s / host_predict_s, 3)
+                    if host_predict_s
+                    else None,
+                }
+            )
+            print(
+                f"[bench] host predict floor: upload {upload_s:.3f}s + device "
+                f"{dev_predict_s:.3f}s of {host_predict_s:.3f}s total "
+                f"({100 * transfer_s / host_predict_s:.0f}% transfer-bound)",
+                file=sys.stderr,
+            )
+            del X_d
         except Exception as exc:  # pragma: no cover - lane resilience
             extra_metrics.append({"metric": f"predict_device_resident_n{n}", "error": str(exc)})
         for lane, params in (

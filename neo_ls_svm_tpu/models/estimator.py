@@ -192,6 +192,7 @@ class NeoLSSVM(BaseEstimator):
         random_state: int | np.random.RandomState | None = 42,
         precision: Literal["high", "fast"] = "high",
         pre_transform: Literal["host", "device"] = "host",
+        transfer: Literal["float32", "bfloat16"] = "float32",
         mesh: Any = None,
     ) -> None:
         self.primal_feature_map = primal_feature_map
@@ -201,6 +202,7 @@ class NeoLSSVM(BaseEstimator):
         self.estimator_type = estimator_type
         self.precision = precision
         self.pre_transform = pre_transform
+        self.transfer = transfer
         self.mesh = mesh
 
     # ------------------------------------------------------------------ fitting
@@ -253,6 +255,16 @@ class NeoLSSVM(BaseEstimator):
         self._clear_fit_state()
         if self.pre_transform not in ("host", "device"):
             msg = f"pre_transform must be 'host' or 'device', got {self.pre_transform!r}."
+            raise ValueError(msg)
+        if self.transfer not in ("float32", "bfloat16"):
+            msg = f"transfer must be 'float32' or 'bfloat16', got {self.transfer!r}."
+            raise ValueError(msg)
+        if self.transfer == "bfloat16" and self.pre_transform != "device":
+            msg = (
+                "transfer='bfloat16' requires pre_transform='device': the host "
+                "pre-transform path carries the bit-parity contract, which a lossy "
+                "feature upload would silently break."
+            )
             raise ValueError(msg)
         # Infer the task type from the target (two classes → classifier; numeric or
         # datetime-like → regressor; ref :347-373).
@@ -580,8 +592,19 @@ class NeoLSSVM(BaseEstimator):
             if row_pad
             else sample_weight_
         )
+        if self.transfer == "bfloat16":
+            # Lossy-transfer mode: X crosses the wire at half width (the tunnel upload
+            # is the measured wall of large device-pre-transform fits) and is widened
+            # back on device. Targets/weights stay full precision (they are O(n), not
+            # O(n·d)). Features are rounded to an 8-bit mantissa — a documented
+            # accuracy trade the parity (host) path never makes.
+            import ml_dtypes  # noqa: PLC0415 - ships with jax
+
+            X_p = X_p.astype(ml_dtypes.bfloat16)
         # ONE batched transfer: every host→device copy pays ~100 ms of tunnel latency.
         X_dev, y_d, s_d, g_d = jax.device_put((X_p, y_p, s_p, self.γs_))
+        if X_dev.dtype != dtype:
+            X_dev = X_dev.astype(dtype)
         rs = self.random_state
         seed = (
             int(rs)
@@ -1078,16 +1101,7 @@ class NeoLSSVM(BaseEstimator):
             is_regressor=self._estimator_type == "regressor",
         )
         if self._estimator_type == "classifier":
-            cache = self.__dict__.setdefault("_device_cache", {})
-            if "iso_thresholds" not in cache:
-                calibrator = self.predict_proba_calibrator_
-                cache["iso_thresholds"] = jax.device_put(
-                    (
-                        np.asarray(calibrator.X_thresholds_, yhat.dtype),
-                        np.asarray(calibrator.y_thresholds_, yhat.dtype),
-                    )
-                )
-            x_thr, y_thr = cache["iso_thresholds"]
+            x_thr, y_thr = self._iso_thresholds_device(yhat.dtype)
             return _isotonic_proba_device(yhat_quantiles, x_thr, y_thr)
         return yhat_quantiles
 
@@ -1209,9 +1223,34 @@ class NeoLSSVM(BaseEstimator):
             yhat = yhat.astype(self.y_dtype_)
         return _maybe_pandas_series(yhat, X_df)
 
+    def _iso_thresholds_device(self, dtype: Any) -> tuple[jax.Array, jax.Array]:
+        """Stage the isotonic calibrator's thresholds on device (once per fit)."""
+        cache = self.__dict__.setdefault("_device_cache", {})
+        if "iso_thresholds" not in cache:
+            calibrator = self.predict_proba_calibrator_
+            cache["iso_thresholds"] = jax.device_put(
+                (
+                    np.asarray(calibrator.X_thresholds_, dtype),
+                    np.asarray(calibrator.y_thresholds_, dtype),
+                )
+            )
+        return cache["iso_thresholds"]
+
     def predict_proba(self, X: Any) -> Any:
-        """Predict class probabilities (classifier) or point predictions (regressor)."""
+        """Predict class probabilities (classifier) or point predictions (regressor).
+
+        A ``jax.Array`` input stays resident: classifiers return the (n, 2) calibrated
+        probability matrix as a ``jax.Array`` (isotonic calibration is a device
+        interp); regressors return device point predictions.
+        """
         check_is_fitted(self, ["γ_"])
+        if isinstance(X, jax.Array):
+            yhat = self.decision_function(X)
+            if self._estimator_type != "classifier":
+                return yhat
+            x_thr, y_thr = self._iso_thresholds_device(yhat.dtype)
+            proba_pos = jnp.interp(yhat, x_thr, y_thr)
+            return jnp.stack([1 - proba_pos, proba_pos], axis=1)
         X_df = X
         X = _check_n_features(self, check_array(X, dtype=(np.float64, np.float32)))
         yhat_df = self.decision_function(X)

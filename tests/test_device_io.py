@@ -105,6 +105,22 @@ def test_device_quantiles_classifier_proba_tensor() -> None:
     np.testing.assert_allclose(np.asarray(dev_q), host_q, rtol=1e-10, atol=1e-12)
 
 
+@pytest.mark.parametrize("n", [1600, 700])  # primal and dual routes
+def test_device_predict_proba_matches_host(n) -> None:
+    X, y = make_classification_dataset(n=n, seed=30)
+    model = NeoLSSVM().fit(X, y)
+    host = model.predict_proba(X[:120])
+    dev = model.predict_proba(jnp.asarray(X[:120]))
+    assert isinstance(dev, jax.Array), "predict_proba must stay on device"
+    np.testing.assert_allclose(np.asarray(dev), host, rtol=1e-10, atol=1e-12)
+    # Regressors pass through to device point predictions.
+    Xr, yr = make_regression_dataset(n=n, seed=30)
+    reg = NeoLSSVM().fit(Xr, yr)
+    dev_reg = reg.predict_proba(jnp.asarray(Xr[:50]))
+    assert isinstance(dev_reg, jax.Array)
+    np.testing.assert_allclose(np.asarray(dev_reg), reg.predict_proba(Xr[:50]), rtol=1e-10)
+
+
 def test_device_quantiles_coverage_priority_clamps() -> None:
     X, y = make_regression_dataset(n=1600, seed=29)
     model = NeoLSSVM().fit(X, y)

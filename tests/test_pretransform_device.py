@@ -114,6 +114,25 @@ def test_invalid_pre_transform_raises() -> None:
         NeoLSSVM(pre_transform="gpu").fit(X, y)
 
 
+def test_bfloat16_transfer_score_within_noise() -> None:
+    """transfer='bfloat16' halves the feature upload; scores must stay within noise
+    of the full-precision device path (features rounded to an 8-bit mantissa)."""
+    X, y = make_regression_dataset(n=4000, seed=39)
+    full = NeoLSSVM(pre_transform="device").fit(X[:3000], y[:3000])
+    lossy = NeoLSSVM(pre_transform="device", transfer="bfloat16").fit(X[:3000], y[:3000])
+    s_full = full.score(X[3000:], y[3000:])
+    s_lossy = lossy.score(X[3000:], y[3000:])
+    assert abs(s_full - s_lossy) < 0.05, (s_full, s_lossy)
+
+
+def test_bfloat16_transfer_requires_device_pre_transform() -> None:
+    X, y = make_regression_dataset(n=200, seed=40)
+    with pytest.raises(ValueError, match="bfloat16"):
+        NeoLSSVM(transfer="bfloat16").fit(X, y)
+    with pytest.raises(ValueError, match="transfer"):
+        NeoLSSVM(pre_transform="device", transfer="fp8").fit(X, y)
+
+
 def test_get_params_roundtrip() -> None:
     model = NeoLSSVM(pre_transform="device")
     assert model.get_params()["pre_transform"] == "device"
