@@ -362,7 +362,10 @@ def main() -> None:
                 )
             except Exception as exc:  # pragma: no cover - lane resilience
                 extra_metrics.append(
-                    {"metric": f"fit_wallclock_n1048576{lane}", "error": str(exc)}
+                    {
+                        "metric": f"fit_wallclock_synthetic_rbf_n1048576_d32_f32{lane}",
+                        "error": str(exc),
+                    }
                 )
         del X1, y1
 

@@ -223,6 +223,21 @@ def _newton_stage(
     return flat_opt.reshape(shape)
 
 
+@jax.jit
+def _exact_pinball_device(
+    B: jax.Array,  # (T, F, Q)
+    X: jax.Array,  # (n, F)
+    Y: jax.Array,  # (T, n)
+    q: jax.Array,  # (Q,)
+    S: jax.Array,  # (T, n) normalised weights
+) -> jax.Array:
+    """Mean (over targets) exact pinball loss of the current coefficients; scalar."""
+    pred = jnp.einsum("nf,tfq->tnq", X, B)
+    r = Y[:, :, None] - pred
+    per_row = jnp.maximum(q[None, None, :] * r, (q[None, None, :] - 1.0) * r)
+    return jnp.mean(jnp.einsum("tn,tnq->t", S, per_row) / q.shape[0])
+
+
 # Above this many LP residual variables (Q·n), HiGHS latency starts to matter and the
 # jitted smoothed-Newton path takes over. Conformal problems (Q ≤ 17, n ≤ 1440) are
 # far below it.
@@ -405,11 +420,11 @@ def _solve_smooth_batched(
     tail_schedule = ((3e-5, 1e6), (3e-6, 3e6), (3e-7, 1e7))
 
     def exact_pinball(B_dev: jax.Array) -> float:
-        pred = np.einsum("nf,tfq->tnq", Xs, np.asarray(B_dev))
-        r = Ys[:, :, None] - pred
-        q = quantiles_full[None, None, :]
-        per_row = np.maximum(q * r, (q - 1.0) * r)
-        return float(np.mean(np.einsum("tn,tnq->t", S, per_row) / num_quantiles))
+        # Runs on device; only the scalar crosses back (the convergence check must
+        # not pull B or materialise an (T, n, Q) host temp on the scale path).
+        return float(
+            jax.device_get(_exact_pinball_device(B_dev, X_dev, Y_dev, q_dev, S_dev))
+        )
 
     trace: list[float] = []
     for eps_rel, penalty in base_schedule:

@@ -46,6 +46,7 @@ from neo_ls_svm_tpu.ops.affine import AffineSeparator
 from neo_ls_svm_tpu.ops.orff import (
     KernelApproximatingFeatureMap,
     OrthogonalRandomFourierFeatures,
+    RandomFourierFeatures,
 )
 from neo_ls_svm_tpu.utils.base import BaseEstimator, clone
 from neo_ls_svm_tpu.utils.metrics import accuracy_score, r2_score
@@ -339,14 +340,25 @@ class NeoLSSVM(BaseEstimator):
             # — zero mid-fit host round-trips (the host path below is the bit-parity
             # default; see ops/pretransform_device.py for the documented deviations).
             # Applies to the single-chip primal routes with a random-Fourier feature
-            # map; the dual (n ≤ 1024) and mesh routes keep the host pre-transform.
-            from neo_ls_svm_tpu.ops.orff import RandomFourierFeatures  # noqa: PLC0415
-
+            # map whose complexity matrix is the shipped identity (a subclass
+            # overriding `complexity_matrix` needs the whitened-GEVD host solver);
+            # the dual (n ≤ 1024) and mesh routes keep the host pre-transform.
             use_device_pt = (
                 self.pre_transform == "device"
                 and route in ("streaming", "inmemory")
                 and isinstance(self.primal_feature_map_, RandomFourierFeatures)
+                and type(self.primal_feature_map_).complexity_matrix
+                is RandomFourierFeatures.complexity_matrix
             )
+            if self.transfer == "bfloat16" and not use_device_pt:
+                msg = (
+                    "transfer='bfloat16' only applies when the fit takes the on-device "
+                    "pre-transform route (single-chip primal, random-Fourier feature "
+                    "map with the identity complexity matrix); this fit would route "
+                    f"through {route!r} with the host pre-transform, silently ignoring "
+                    "the half-width upload you opted into."
+                )
+                raise ValueError(msg)
             if route in ("streaming", "inmemory") and not use_device_pt:
                 X_dev = jax.device_put(X_p)
             if use_device_pt:
@@ -520,6 +532,13 @@ class NeoLSSVM(BaseEstimator):
             M = M_map.shape[1] + 1
             self._inv_c0 = 1.0 if C_emb is not None else float(X.shape[0] * M)
         else:
+            if self.transfer == "bfloat16":
+                msg = (
+                    "transfer='bfloat16' only applies to the on-device pre-transform "
+                    f"route; this fit (n={X.shape[0]} ≤ {DUAL_THRESHOLD}) routes to the "
+                    "dual solver with the host pre-transform."
+                )
+                raise ValueError(msg)
             nz = sample_weight_ > 0
             X, y_, sample_weight_ = X[nz], y_[nz], sample_weight_[nz]
             y = y[nz]
@@ -889,15 +908,20 @@ class NeoLSSVM(BaseEstimator):
         )
 
     def _primal_var_device(self, X_c: jax.Array) -> jax.Array:
-        """σ² for one device-resident chunk (shared by the host and device paths)."""
+        """σ² for one device-resident chunk (shared by the host and device paths).
+
+        Dtype comes from :meth:`_compute_dtype` (NOT ``self._M_map``, which is a lazy
+        attribute on ``pre_transform="device"`` fits — touching it here would force
+        the full observability pull onto the serving path)."""
+        dtype = self._compute_dtype()
         return primal_predict_var(
             X_c,
             self._device("M_map"),
             self._device("b_map"),
             self._device("Qs"),
             self._device("lam"),
-            jnp.asarray(np.asarray(self.γ_, dtype=self._M_map.dtype)),
-            jnp.asarray(np.asarray(self._inv_c0, dtype=self._M_map.dtype)),
+            jnp.asarray(np.asarray(self.γ_, dtype=dtype)),
+            jnp.asarray(np.asarray(self._inv_c0, dtype=dtype)),
         )
 
     def _device_dual_transform(self, X: jax.Array) -> jax.Array:

@@ -82,6 +82,11 @@ def test_lazy_materialisation_keeps_device_serving(monkeypatch) -> None:
     pred = dev.decision_function(jnp.asarray(X[2500:2600]))
     assert isinstance(pred, jax.Array)
     assert dev.__dict__.get("_pending_result") is not None, "device serving must not pull"
+    # predict_std must serve device-side too without forcing the pull (it reads the
+    # compute dtype through the device cache, not the lazy _M_map attribute).
+    std = dev.predict_std(jnp.asarray(X[2500:2600]))
+    assert isinstance(std, jax.Array)
+    assert dev.__dict__.get("_pending_result") is not None, "predict_std must not pull"
     # First observability access pulls everything in one batch.
     assert np.isfinite(dev.loo_score_)
     assert dev.__dict__.get("_pending_result") is None
@@ -131,6 +136,41 @@ def test_bfloat16_transfer_requires_device_pre_transform() -> None:
         NeoLSSVM(transfer="bfloat16").fit(X, y)
     with pytest.raises(ValueError, match="transfer"):
         NeoLSSVM(pre_transform="device", transfer="fp8").fit(X, y)
+
+
+def test_bfloat16_transfer_rejects_non_device_routes() -> None:
+    """Routes that cannot take the device pre-transform must refuse the half-width
+    upload loudly instead of silently ignoring it."""
+    X, y = make_regression_dataset(n=700, seed=41)  # n <= 1024 → dual route
+    with pytest.raises(ValueError, match="dual"):
+        NeoLSSVM(pre_transform="device", transfer="bfloat16").fit(X, y)
+    from neo_ls_svm_tpu.parallel.mesh import make_mesh
+
+    X2, y2 = make_regression_dataset(n=1500, seed=42)
+    with pytest.raises(ValueError, match="mesh"):
+        NeoLSSVM(
+            pre_transform="device", transfer="bfloat16", mesh=make_mesh()
+        ).fit(X2, y2)
+
+
+def test_custom_complexity_matrix_keeps_host_pre_transform() -> None:
+    """A feature map overriding complexity_matrix needs the whitened-GEVD host
+    solver; pre_transform='device' must fall back to the host path (matching its
+    regulariser) rather than silently fitting with the identity."""
+    from neo_ls_svm_tpu.ops.orff import OrthogonalRandomFourierFeatures
+
+    class ExactComplexityORFF(OrthogonalRandomFourierFeatures):
+        @property
+        def complexity_matrix(self):
+            return self.complexity_matrix_exact()
+
+    X, y = make_regression_dataset(n=1500, seed=43)
+    host = NeoLSSVM(primal_feature_map=ExactComplexityORFF(num_features=32)).fit(X, y)
+    dev = NeoLSSVM(
+        primal_feature_map=ExactComplexityORFF(num_features=32), pre_transform="device"
+    ).fit(X, y)
+    # Host fallback → identical fit (same RNG order, same solver, same regulariser).
+    np.testing.assert_allclose(dev.loo_residuals_, host.loo_residuals_, rtol=1e-12)
 
 
 def test_get_params_roundtrip() -> None:
