@@ -173,6 +173,68 @@ def test_custom_complexity_matrix_keeps_host_pre_transform() -> None:
     np.testing.assert_allclose(dev.loo_residuals_, host.loo_residuals_, rtol=1e-12)
 
 
+def test_target_codes_mass_balance() -> None:
+    """Regression codes: every non-padding row lands in a bin, padding is excluded,
+    and equal-mass cuts spread the weight to within a factor ~2 across bins."""
+    from neo_ls_svm_tpu.ops.pretransform_device import _target_codes
+
+    gen = np.random.RandomState(44)
+    n, pad = 5000, 120
+    y = jnp.asarray(np.concatenate([gen.randn(n), np.zeros(pad)]))
+    w = jnp.asarray(np.concatenate([np.ones(n), np.zeros(pad)]))
+    codes, totals = _target_codes(y, w, num_bins=8, is_classifier=False)
+    codes = np.asarray(codes)
+    totals = np.asarray(totals)
+    assert np.all(codes[n:] == 8), "padding rows must carry the exclusion code"
+    assert np.all((codes[:n] >= 0) & (codes[:n] < 8))
+    assert totals.sum() == pytest.approx(n)
+    assert totals.min() > n / 16 and totals.max() < n / 4
+
+
+def test_target_codes_classifier_uses_label_bins() -> None:
+    from neo_ls_svm_tpu.ops.pretransform_device import _target_codes
+
+    y = jnp.asarray(np.array([-1.0, 1.0, 1.0, -1.0, 1.0]))
+    w = jnp.ones(5)
+    codes, totals = _target_codes(y, w, num_bins=2, is_classifier=True)
+    assert np.array_equal(np.asarray(codes), [0, 1, 1, 0, 1])
+    assert np.array_equal(np.asarray(totals), [2.0, 3.0])
+
+
+def test_sample_rows_proportional_to_weights() -> None:
+    """Inverse-CDF sampling draws rows ∝ their mass (loose statistical gate)."""
+    from neo_ls_svm_tpu.ops.pretransform_device import _sample_rows
+
+    w = np.zeros(1000)
+    w[100] = 3.0  # 3x the mass of the others
+    w[200:900] = 1.0
+    cum = jnp.asarray(np.cumsum(w))
+    idx = np.asarray(_sample_rows(jax.random.PRNGKey(0), cum, 20000))
+    assert np.all((idx >= 100) & (idx < 900))
+    assert np.all(w[idx] > 0), "zero-mass rows must never be drawn"
+    frac_100 = np.mean(idx == 100)
+    assert 0.5 * (3 / 703) < frac_100 < 2.0 * (3 / 703)
+
+
+def test_device_pre_transform_respects_sample_weight() -> None:
+    """Zero-weight rows must not influence the learned map: fitting with poisoned
+    zero-weight rows equals fitting without them (same RNG key, same shapes)."""
+    X, y = make_regression_dataset(n=2500, seed=45)
+    w = np.ones_like(y)
+    X_poison = X.copy()
+    X_poison[:300] = 1e6  # absurd rows ...
+    w_poison = w.copy()
+    w_poison[:300] = 0.0  # ... carrying zero weight
+    clean = NeoLSSVM(pre_transform="device").fit(X[300:], y[300:])
+    poisoned = NeoLSSVM(pre_transform="device").fit(X_poison, y, sample_weight=w_poison)
+    # Not bit-identical (row counts differ → sampling draws differ), but the learned
+    # model must be unaffected statistically: both score well on held-out-ish data.
+    s_clean = clean.score(X[300:], y[300:])
+    s_poisoned = poisoned.score(X[300:], y[300:])
+    assert s_poisoned > 0.8, s_poisoned
+    assert abs(s_clean - s_poisoned) < 0.1
+
+
 def test_get_params_roundtrip() -> None:
     model = NeoLSSVM(pre_transform="device")
     assert model.get_params()["pre_transform"] == "device"
