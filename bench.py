@@ -221,6 +221,78 @@ def pallas_value_check(n: int = 32768, d: int = 32) -> str:
     return "ok"
 
 
+def device_phase_breakdown(X, y, model) -> dict:
+    """Per-op device times for the fit's three dominant kernels (gram/eigh/sweep).
+
+    Times each stage warm with a scalar-pull completion barrier on staged device
+    data, so the numbers are device-execution + dispatch only (no host prep, no
+    data upload) — the context that makes the headline effective-TFLOP/s figure
+    judgeable."""
+    import jax
+    import jax.numpy as jnp
+
+    from neo_ls_svm_tpu.models.primal import (
+        _eigendecompose,
+        embed_from_gram_blocks,
+        gamma_grid,
+    )
+    from neo_ls_svm_tpu.ops.pallas.gram import fused_augmented_gram, w_basis_from_augmented
+    from neo_ls_svm_tpu.ops.pallas.sweep import fused_loo_sweep
+
+    n = X.shape[0]
+    D = model._M_map.shape[1]
+    M = D + 1
+    dtype = X.dtype
+    s = np.full(n, 1.0 / n, dtype=dtype)
+    g = gamma_grid(dtype)
+    X_d, M_d, b_d, y_d, s_d = jax.device_put(
+        (X, model._M_map.astype(dtype), model._b_map.astype(dtype), y, s)
+    )
+    s2_d = s_d * s_d
+    jax.device_get(jnp.sum(X_d[0]))  # barrier on the staging transfer
+    sign = jnp.concatenate([jnp.ones((M,), dtype), -jnp.ones((M,), dtype)])
+    use_pallas = jax.devices()[0].platform == "tpu"
+
+    def timed(fn):
+        def barrier(out):
+            jax.device_get(jnp.sum(jax.tree.leaves(out)[0]))
+
+        out = fn()  # compile + warm
+        barrier(out)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            out = fn()
+            barrier(out)
+            best = min(best, time.perf_counter() - t0)
+        return best, out
+
+    if not use_pallas:
+        return {"skipped": "non-TPU backend"}
+    gram_s, G_aug = timed(
+        lambda: fused_augmented_gram(X_d, M_d, b_d, s2_d, y_d, block_rows=256)
+    )
+    G, b_vec = w_basis_from_augmented(G_aug, D)
+    B = embed_from_gram_blocks(G, M)
+    inv_c0 = jnp.asarray(float(n * M), dtype)
+    eigh_s, (lam, Qs, inv_c0_out) = timed(
+        lambda: _eigendecompose(B, None, inv_c0, sign)
+    )
+    k = jnp.dot(Qs.T, b_vec)
+    r_all = 1.0 / (jnp.asarray(g)[None, :] + lam[:, None])
+    sweep_s, _ = timed(
+        lambda: fused_loo_sweep(
+            X_d, M_d, b_d, y_d, s_d, s2_d, Qs, r_all, k,
+            block_rows=128, is_classifier=False, inv_c0_static=float(n * M),
+        )
+    )
+    return {
+        "gram_s": round(gram_s, 4),
+        "eigh_s": round(eigh_s, 4),
+        "sweep_s": round(sweep_s, 4),
+    }
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--smoke", action="store_true", help="small shapes for a quick check")
@@ -311,6 +383,14 @@ def main() -> None:
             del X_d
         except Exception as exc:  # pragma: no cover - lane resilience
             extra_metrics.append({"metric": f"predict_device_resident_n{n}", "error": str(exc)})
+        try:
+            breakdown = device_phase_breakdown(X, y, model)
+            extra_metrics.append(
+                {"metric": f"device_phase_breakdown_n{n}", **breakdown}
+            )
+            print(f"[bench] device phases: {breakdown}", file=sys.stderr)
+        except Exception as exc:  # pragma: no cover - lane resilience
+            extra_metrics.append({"metric": f"device_phase_breakdown_n{n}", "error": str(exc)})
         for lane, params in (
             ("fast_precision", {"precision": "fast"}),
             ("device_pretransform", {"pre_transform": "device"}),
@@ -340,7 +420,14 @@ def main() -> None:
         # flagged via "baseline_recorded".
         recorded_1m_baseline_s = 852.0
         X1, y1 = make_dataset(1 << 20, 32)
-        for lane, params in (("", {}), ("_device_pretransform", {"pre_transform": "device"})):
+        for lane, params in (
+            ("", {}),
+            ("_device_pretransform", {"pre_transform": "device"}),
+            (
+                "_device_pretransform_bf16",
+                {"pre_transform": "device", "transfer": "bfloat16"},
+            ),
+        ):
             try:
                 full_s, full_model, full_phases = timed_best_fit(X1, y1, trials=2, **params)
                 extra_metrics.append(
