@@ -20,7 +20,7 @@ Feature parity checklist vs the reference:
 """
 
 from functools import partial
-from typing import Any, Literal
+from typing import TYPE_CHECKING, Any, Literal
 
 import jax
 import jax.numpy as jnp
@@ -50,6 +50,12 @@ from neo_ls_svm_tpu.ops.orff import (
 )
 from neo_ls_svm_tpu.utils.base import BaseEstimator, clone
 from neo_ls_svm_tpu.utils.metrics import accuracy_score, r2_score
+from neo_ls_svm_tpu.utils.typing import (
+    FloatMatrix,
+    FloatTensor,
+    FloatVector,
+    GenericVector,
+)
 from neo_ls_svm_tpu.utils.validation import (
     check_array,
     check_consistent_length,
@@ -58,6 +64,9 @@ from neo_ls_svm_tpu.utils.validation import (
     is_pandas,
     train_test_split,
 )
+
+if TYPE_CHECKING:  # pandas is an optional I/O convenience, never a runtime dependency.
+    import pandas as pd
 
 DUAL_THRESHOLD = 1024  # n ≤ 1024 → dual space (ref _neo_ls_svm.py:375).
 CONFORMAL_L2_MIN = 128  # Level-2 bias needs ≥ 128 samples (ref :514).
@@ -235,9 +244,9 @@ class NeoLSSVM(BaseEstimator):
 
     def fit(
         self,
-        X: Any,
-        y: Any,
-        sample_weight: Any = None,
+        X: "FloatMatrix | pd.DataFrame",
+        y: "GenericVector | pd.Series",
+        sample_weight: "FloatVector | pd.Series | None" = None,
     ) -> "NeoLSSVM":
         """Fit this predictor."""
         X, y = check_X_y(X, y, dtype=(np.float64, np.float32), ensure_min_samples=2)
@@ -949,7 +958,7 @@ class NeoLSSVM(BaseEstimator):
             return (X - off_d) * inv_scale_d
         return jnp.dot(X, M_d) + off_d
 
-    def decision_function(self, X: Any) -> Any:
+    def decision_function(self, X: "FloatMatrix | pd.DataFrame") -> "FloatVector | pd.Series":
         """Evaluate the prediction function ŷ(x) (ref ``:655-681``).
 
         A ``jax.Array`` input stays resident: the result is returned as a ``jax.Array``
@@ -988,7 +997,7 @@ class NeoLSSVM(BaseEstimator):
             )
         return _maybe_pandas_series(yhat, X_df)
 
-    def predict_std(self, X: Any) -> Any:
+    def predict_std(self, X: "FloatMatrix | pd.DataFrame") -> "FloatVector | pd.Series":
         """Bayesian estimate of the predictive standard deviation (ref ``:452-487``).
 
         Uncalibrated; its value is as a nonconformity score for the conformal stack.
@@ -1131,11 +1140,11 @@ class NeoLSSVM(BaseEstimator):
 
     def predict_quantiles(
         self,
-        X: Any,
+        X: "FloatMatrix | pd.DataFrame",
         *,
         quantiles: npt.ArrayLike = (0.025, 0.5, 0.975),
         priority: Literal["accuracy", "coverage"] = "accuracy",
-    ) -> Any:
+    ) -> "FloatMatrix | FloatTensor | pd.DataFrame":
         """Predict conformally calibrated quantiles (ref ``:554-624``).
 
         A ``jax.Array`` input stays resident: the calibrated quantiles (or the
@@ -1203,7 +1212,9 @@ class NeoLSSVM(BaseEstimator):
             return out
         return yhat_quantiles
 
-    def predict_interval(self, X: Any, *, coverage: float = 0.95) -> Any:
+    def predict_interval(
+        self, X: "FloatMatrix | pd.DataFrame", *, coverage: float = 0.95
+    ) -> "FloatMatrix | FloatTensor | pd.DataFrame":
         """Predict conformally calibrated intervals (ref ``:636-645``)."""
         lb = (1 - coverage) / 2
         return self.predict_quantiles(X, quantiles=(lb, 1 - lb), priority="coverage")
@@ -1212,11 +1223,11 @@ class NeoLSSVM(BaseEstimator):
 
     def predict(
         self,
-        X: Any,
+        X: "FloatMatrix | pd.DataFrame",
         *,
         coverage: float | None = None,
         quantiles: npt.ArrayLike | None = None,
-    ) -> Any:
+    ) -> "FloatVector | FloatMatrix | pd.Series | pd.DataFrame":
         """Predict on a given dataset (point, interval, or quantile predictions)."""
         assert coverage is None or quantiles is None
         if coverage is not None:
@@ -1260,7 +1271,9 @@ class NeoLSSVM(BaseEstimator):
             )
         return cache["iso_thresholds"]
 
-    def predict_proba(self, X: Any) -> Any:
+    def predict_proba(
+        self, X: "FloatMatrix | pd.DataFrame"
+    ) -> "FloatVector | FloatMatrix | pd.Series | pd.DataFrame":
         """Predict class probabilities (classifier) or point predictions (regressor).
 
         A ``jax.Array`` input stays resident: classifiers return the (n, 2) calibrated
@@ -1295,7 +1308,12 @@ class NeoLSSVM(BaseEstimator):
             return pd.Series(proba, index=X_df.index)
         return proba
 
-    def score(self, X: Any, y: Any, sample_weight: npt.NDArray | None = None) -> float:
+    def score(
+        self,
+        X: "FloatMatrix | pd.DataFrame",
+        y: "GenericVector | pd.Series",
+        sample_weight: npt.NDArray | None = None,
+    ) -> float:
         """Accuracy (classifier) or R² (regressor) on the given data."""
         yhat = self.predict(X)
         if self._estimator_type == "classifier":

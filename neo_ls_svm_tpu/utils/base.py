@@ -101,6 +101,77 @@ class BaseEstimator:
         )
         return tags
 
+    # ------------------------------------------------------- sklearn metadata routing
+    # The reference inherits `get_metadata_routing`/`set_{fit,predict,score}_request`
+    # from sklearn.base.BaseEstimator (auto-generated for every explicit non-X/y
+    # keyword argument). This package is sklearn-free, so the same protocol is built
+    # here on sklearn's *public* `metadata_routing` API, lazily imported — routing only
+    # matters inside sklearn meta-estimators, where sklearn is present by definition.
+
+    #: Methods sklearn's MetadataRequest models and we expose requests for.
+    _ROUTING_METHODS = ("fit", "predict", "predict_proba", "decision_function", "score")
+
+    @classmethod
+    def _routing_metadata_params(cls, method_name: str) -> list[str]:
+        """Explicit non-X/y keyword parameters of ``method_name`` (= routable metadata)."""
+        method = getattr(cls, method_name, None)
+        if method is None or not callable(method):
+            return []
+        try:
+            sig = inspect.signature(method)
+        except (TypeError, ValueError):  # pragma: no cover - builtins without signatures
+            return []
+        skip = {"self", "X", "y"}
+        return [
+            p.name
+            for p in sig.parameters.values()
+            if p.name not in skip and p.kind not in (p.VAR_POSITIONAL, p.VAR_KEYWORD)
+        ]
+
+    def get_metadata_routing(self):  # noqa: ANN201 - sklearn protocol type lives in sklearn
+        """Return this estimator's sklearn ``MetadataRequest`` (routing protocol)."""
+        from sklearn.utils.metadata_routing import MetadataRequest  # noqa: PLC0415
+
+        request = MetadataRequest(owner=type(self).__name__)
+        overrides: dict[str, dict[str, Any]] = getattr(self, "_metadata_request_overrides", {})
+        for method_name in self._ROUTING_METHODS:
+            method_request = getattr(request, method_name, None)
+            if method_request is None:
+                continue
+            for param in self._routing_metadata_params(method_name):
+                method_request.add_request(
+                    param=param, alias=overrides.get(method_name, {}).get(param)
+                )
+        return request
+
+    def _set_method_request(self, method_name: str, requests: dict[str, Any]) -> "BaseEstimator":
+        valid = set(self._routing_metadata_params(method_name))
+        for param, alias in requests.items():
+            if param not in valid:
+                msg = (
+                    f"Unexpected arg {param!r} for set_{method_name}_request on "
+                    f"{type(self).__name__}; routable metadata: {sorted(valid)}."
+                )
+                raise TypeError(msg)
+            if not (alias is None or isinstance(alias, (bool, str))):
+                msg = f"Request value for {param!r} must be True/False/None or a str alias."
+                raise ValueError(msg)
+        overrides = vars(self).setdefault("_metadata_request_overrides", {})
+        overrides.setdefault(method_name, {}).update(requests)
+        return self
+
+    def set_fit_request(self, **requests: Any) -> "BaseEstimator":
+        """Request metadata (e.g. ``sample_weight=True``) to be routed to ``fit``."""
+        return self._set_method_request("fit", requests)
+
+    def set_predict_request(self, **requests: Any) -> "BaseEstimator":
+        """Request metadata to be routed to ``predict``."""
+        return self._set_method_request("predict", requests)
+
+    def set_score_request(self, **requests: Any) -> "BaseEstimator":
+        """Request metadata (e.g. ``sample_weight=True``) to be routed to ``score``."""
+        return self._set_method_request("score", requests)
+
 
 class TransformerMixin:
     """Adds ``fit_transform`` to transformers."""
@@ -124,4 +195,10 @@ def clone(estimator: Any) -> Any:
         return copy.deepcopy(estimator)
     params = estimator.get_params(deep=False)
     params = {k: clone(v) if hasattr(v, "get_params") else copy.deepcopy(v) for k, v in params.items()}
-    return type(estimator)(**params)
+    new = type(estimator)(**params)
+    # Metadata-routing requests are configuration, not fitted state: sklearn's clone
+    # preserves them, so ours does too.
+    overrides = getattr(estimator, "_metadata_request_overrides", None)
+    if overrides:
+        new._metadata_request_overrides = copy.deepcopy(overrides)
+    return new

@@ -57,3 +57,64 @@ def test_check_estimator_cqr() -> None:
     }
     unexpected = [r["check_name"] for r in failed if r["check_name"] not in allowed]
     assert not unexpected, f"unexpected check_estimator failures: {unexpected}"
+
+
+def test_metadata_routing_requests_surface() -> None:
+    """The routing request surface matches what sklearn auto-generates for the
+    reference (explicit non-X/y keyword args of fit/predict/score)."""
+    m = NeoLSSVM()
+    routing = m.get_metadata_routing()
+    assert routing.fit.requests == {"sample_weight": None}
+    assert routing.predict.requests == {"coverage": None, "quantiles": None}
+    assert routing.score.requests == {"sample_weight": None}
+    m.set_fit_request(sample_weight=True).set_score_request(sample_weight="w_alias")
+    assert m.get_metadata_routing().fit.requests == {"sample_weight": True}
+    assert m.get_metadata_routing().score.requests == {"sample_weight": "w_alias"}
+    # Requests are configuration: clone preserves them (sklearn semantics).
+    from neo_ls_svm_tpu.utils.base import clone
+
+    assert clone(m).get_metadata_routing().fit.requests == {"sample_weight": True}
+    with pytest.raises(TypeError, match="routable metadata"):
+        m.set_fit_request(nonexistent=True)
+    with pytest.raises(ValueError, match="True/False/None"):
+        m.set_fit_request(sample_weight=3.14)
+
+
+def test_metadata_routing_end_to_end() -> None:
+    """sample_weight routes through a sklearn meta-estimator with routing enabled,
+    and unrequested metadata raises sklearn's UnsetMetadataPassedError."""
+    import numpy as np
+    import sklearn
+    from sklearn.exceptions import UnsetMetadataPassedError
+    from sklearn.model_selection import cross_validate
+
+    rng = np.random.RandomState(0)
+    X = rng.randn(300, 4).astype(np.float32)
+    y = (X @ rng.randn(4) + 0.05 * rng.randn(300)).astype(np.float32)
+    w = rng.rand(300).astype(np.float32)
+    sklearn.set_config(enable_metadata_routing=True)
+    try:
+        requested = NeoLSSVM().set_fit_request(sample_weight=True).set_score_request(
+            sample_weight=True
+        )
+        out = cross_validate(requested, X, y, cv=2, params={"sample_weight": w})
+        assert np.all(np.isfinite(out["test_score"]))
+        with pytest.raises(UnsetMetadataPassedError):
+            cross_validate(NeoLSSVM(), X, y, cv=2, params={"sample_weight": w})
+    finally:
+        sklearn.set_config(enable_metadata_routing=False)
+
+
+def test_public_api_surface_superset_of_reference() -> None:
+    """Every public method of the reference estimator exists here (switching users
+    find everything they need; see VERDICT §2 component inventory)."""
+    from .reference_shim import import_reference
+
+    ref_cls = import_reference().NeoLSSVM
+    ours = set(dir(NeoLSSVM))
+    missing = [
+        name
+        for name in dir(ref_cls)
+        if not name.startswith("_") and callable(getattr(ref_cls, name)) and name not in ours
+    ]
+    assert not missing, f"reference API not covered: {missing}"
