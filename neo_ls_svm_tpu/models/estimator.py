@@ -50,6 +50,7 @@ from neo_ls_svm_tpu.ops.orff import (
 )
 from neo_ls_svm_tpu.utils.base import BaseEstimator, clone
 from neo_ls_svm_tpu.utils.metrics import accuracy_score, r2_score
+from neo_ls_svm_tpu.utils.transfer import staged_device_put
 from neo_ls_svm_tpu.utils.typing import (
     FloatMatrix,
     FloatTensor,
@@ -369,7 +370,7 @@ class NeoLSSVM(BaseEstimator):
                 )
                 raise ValueError(msg)
             if route in ("streaming", "inmemory") and not use_device_pt:
-                X_dev = jax.device_put(X_p)
+                X_dev = staged_device_put(X_p)
             if use_device_pt:
                 self.γs_ = gamma_grid(X.dtype, num=1024)
                 result = self._fit_primal_device_pt(
@@ -620,6 +621,7 @@ class NeoLSSVM(BaseEstimator):
             if row_pad
             else sample_weight_
         )
+        cast_dtype = None
         if self.transfer == "bfloat16":
             # Lossy-transfer mode: X crosses the wire at half width (the tunnel upload
             # is the measured wall of large device-pre-transform fits) and is widened
@@ -628,9 +630,12 @@ class NeoLSSVM(BaseEstimator):
             # accuracy trade the parity (host) path never makes.
             import ml_dtypes  # noqa: PLC0415 - ships with jax
 
-            X_p = X_p.astype(ml_dtypes.bfloat16)
-        # ONE batched transfer: every host→device copy pays ~100 ms of tunnel latency.
-        X_dev, y_d, s_d, g_d = jax.device_put((X_p, y_p, s_p, self.γs_))
+            cast_dtype = ml_dtypes.bfloat16
+        # X rides a pipelined chunk train (staged_device_put overlaps the host-side
+        # serialization/cast with the wire transfer); the O(n) vectors share ONE
+        # batched transfer — every host→device copy pays ~100 ms of tunnel latency.
+        X_dev = staged_device_put(X_p, cast_dtype=cast_dtype)
+        y_d, s_d, g_d = jax.device_put((y_p, s_p, self.γs_))
         if X_dev.dtype != dtype:
             X_dev = X_dev.astype(dtype)
         rs = self.random_state

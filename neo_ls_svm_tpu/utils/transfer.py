@@ -1,0 +1,59 @@
+"""Host→device transfer helpers tuned for the tunneled-TPU topology.
+
+Large fits are upload-bound: at 1M×32 f32 the 132 MB feature matrix dominates the
+wall (see CLAUDE.md bench history). A monolithic ``jax.device_put`` serializes the
+host-side buffer preparation with the wire transfer; issuing the upload as a train
+of row-chunk ``device_put`` calls lets the runtime pipeline the two (measured ~20%
+faster at 132 MB through the axon tunnel in same-trial comparisons: 3.4–3.7 s
+chunked×8 vs 4.2–4.7 s monolithic). Chunking also lets an optional host-side dtype
+cast (the ``transfer="bfloat16"`` half-width mode) ride under the transfer of the
+previous chunk instead of stalling in front of the whole upload. Caveat from
+fit-level A/B runs: the tunnel's minute-to-minute weather (±1.5 s at this size)
+can swamp the per-fit gain — the pipelining win is real but only visible against a
+same-minute monolithic baseline.
+
+The reference has no transfer layer at all (pure in-process NumPy); this module is
+part of the TPU-native runtime around the compute path.
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+#: Per-chunk wire-size target. Small enough to pipeline, large enough that the
+#: ~100 ms per-call tunnel latency stays amortized (16 MB ≫ latency·bandwidth).
+_TARGET_CHUNK_BYTES = 16 * 1024 * 1024
+#: Below this post-cast size a single device_put wins (no pipelining to gain,
+#: and every extra call pays the tunnel's per-call latency).
+_MIN_STAGED_BYTES = 2 * _TARGET_CHUNK_BYTES
+_MAX_CHUNKS = 16
+
+
+def staged_device_put(X: np.ndarray, cast_dtype: "np.dtype | None" = None) -> jax.Array:
+    """Upload a 2-D host array, pipelining serialization/cast with the wire transfer.
+
+    Splits ``X`` into row chunks sized ~:data:`_TARGET_CHUNK_BYTES` on the wire and
+    issues their ``device_put`` calls back-to-back without blocking, then stitches
+    the device buffers with one on-device concatenate (an HBM copy, microseconds at
+    HBM bandwidth). With ``cast_dtype`` each chunk is cast on host immediately
+    before its upload, so the cast of chunk *k+1* overlaps the transfer of chunk
+    *k*. Small arrays (or 1-D/0-D input) fall back to a plain ``device_put``.
+
+    Returns a device array equal to ``jax.device_put(X.astype(cast_dtype))`` —
+    bitwise, since both row-slicing and concatenation are value-preserving.
+    """
+    itemsize = np.dtype(cast_dtype).itemsize if cast_dtype is not None else X.itemsize
+    wire_bytes = X.size * itemsize
+    if X.ndim != 2 or wire_bytes < _MIN_STAGED_BYTES:
+        return jax.device_put(X if cast_dtype is None else X.astype(cast_dtype))
+    num_chunks = min(
+        _MAX_CHUNKS, max(2, math.ceil(wire_bytes / _TARGET_CHUNK_BYTES)), X.shape[0]
+    )
+    parts = []
+    for chunk in np.array_split(X, num_chunks, axis=0):
+        if cast_dtype is not None:
+            chunk = chunk.astype(cast_dtype)
+        parts.append(jax.device_put(chunk))
+    return jnp.concatenate(parts, axis=0)

@@ -1,0 +1,49 @@
+"""staged_device_put: value-preserving pipelined upload (utils/transfer.py)."""
+
+import jax
+import jax.numpy as jnp
+import ml_dtypes
+import numpy as np
+
+from neo_ls_svm_tpu.utils import transfer
+from neo_ls_svm_tpu.utils.transfer import staged_device_put
+
+
+def _force_chunking(monkeypatch, target_bytes: int = 256) -> None:
+    monkeypatch.setattr(transfer, "_TARGET_CHUNK_BYTES", target_bytes)
+    monkeypatch.setattr(transfer, "_MIN_STAGED_BYTES", 2 * target_bytes)
+
+
+def test_staged_equals_monolithic(monkeypatch) -> None:
+    _force_chunking(monkeypatch)
+    rng = np.random.RandomState(0)
+    for rows in (37, 64, 1000):  # odd counts exercise unequal array_split chunks
+        X = rng.randn(rows, 7).astype(np.float32)
+        out = staged_device_put(X)
+        assert isinstance(out, jax.Array)
+        assert out.shape == X.shape and out.dtype == X.dtype
+        np.testing.assert_array_equal(np.asarray(out), X)
+
+
+def test_staged_cast_matches_host_cast(monkeypatch) -> None:
+    _force_chunking(monkeypatch)
+    X = np.random.RandomState(1).randn(123, 9).astype(np.float32)
+    out = staged_device_put(X, cast_dtype=ml_dtypes.bfloat16)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(out).astype(np.float32), X.astype(ml_dtypes.bfloat16).astype(np.float32)
+    )
+
+
+def test_small_and_non_2d_fall_back_to_plain_put() -> None:
+    X_small = np.arange(12, dtype=np.float32).reshape(3, 4)
+    np.testing.assert_array_equal(np.asarray(staged_device_put(X_small)), X_small)
+    v = np.arange(5, dtype=np.float32)
+    np.testing.assert_array_equal(np.asarray(staged_device_put(v)), v)
+
+
+def test_chunk_count_capped_by_rows(monkeypatch) -> None:
+    # A wide 2-row array big enough to chunk must not split beyond its rows.
+    _force_chunking(monkeypatch, target_bytes=64)
+    X = np.random.RandomState(2).randn(2, 100).astype(np.float32)
+    np.testing.assert_array_equal(np.asarray(staged_device_put(X)), X)
