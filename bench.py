@@ -163,6 +163,37 @@ def measure_device_predict(model, X) -> float:
     return best
 
 
+def measure_device_quantile_serving(model, X) -> dict:
+    """Device-resident conformal serving: jax.Array in → calibrated quantiles out.
+
+    Same protocol as ``measure_device_predict`` (upload excluded via a barrier;
+    warm best-of-2). Covers the full conformal chain on device: CQR plane matmuls,
+    the per-row min-dispersion abs/rel choice, and the interval combine."""
+    import jax
+    import jax.numpy as jnp
+
+    X_d = jax.device_put(X)
+    jax.device_get(jnp.sum(X_d))
+    quantiles = (0.025, 0.5, 0.975)
+    out = model.predict_quantiles(X_d, quantiles=quantiles)
+    jax.device_get(jnp.sum(out))  # compile + warm (stages the planes too)
+    best_q = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        out = model.predict_quantiles(X_d, quantiles=quantiles)
+        jax.device_get(jnp.sum(out))
+        best_q = min(best_q, time.perf_counter() - t0)
+    out = model.predict_interval(X_d, coverage=0.95)
+    jax.device_get(jnp.sum(out))
+    best_i = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        out = model.predict_interval(X_d, coverage=0.95)
+        jax.device_get(jnp.sum(out))
+        best_i = min(best_i, time.perf_counter() - t0)
+    return {"quantiles_s": round(best_q, 4), "interval_s": round(best_i, 4)}
+
+
 def pallas_value_check(n: int = 32768, d: int = 32) -> str:
     """Hardware-value regression for the fused Pallas kernels vs the XLA path.
 
@@ -383,6 +414,20 @@ def main() -> None:
             del X_d
         except Exception as exc:  # pragma: no cover - lane resilience
             extra_metrics.append({"metric": f"predict_device_resident_n{n}", "error": str(exc)})
+        try:
+            q_serving = measure_device_quantile_serving(model, X)
+            extra_metrics.append(
+                {
+                    "metric": f"quantile_serving_device_resident_n{n}",
+                    **q_serving,
+                    "rows_per_s": round(n / q_serving["quantiles_s"], 1),
+                }
+            )
+            print(f"[bench] device-resident quantile serving: {q_serving}", file=sys.stderr)
+        except Exception as exc:  # pragma: no cover - lane resilience
+            extra_metrics.append(
+                {"metric": f"quantile_serving_device_resident_n{n}", "error": str(exc)}
+            )
         try:
             breakdown = device_phase_breakdown(X, y, model)
             extra_metrics.append(
