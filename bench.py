@@ -139,27 +139,41 @@ def run_ours(X, y) -> tuple[float, object, dict]:
     return elapsed, model, best_phase
 
 
+def timed_best_device(fn, *, trials: int = 2):
+    """The bench's standard device-timing protocol: warm once (compile), then
+    best-of-``trials`` with a scalar-pull completion barrier on the first output
+    leaf (``block_until_ready`` is unreliable through the tunnel; best-of-N because
+    tunnel latency swings minute to minute). Returns (best_seconds, last_output)."""
+    import jax
+    import jax.numpy as jnp
+
+    def barrier(out):
+        jax.device_get(jnp.sum(jax.tree.leaves(out)[0]))
+
+    out = fn()
+    barrier(out)
+    best = float("inf")
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        out = fn()
+        barrier(out)
+        best = min(best, time.perf_counter() - t0)
+    return best, out
+
+
 def measure_device_predict(model, X) -> float:
     """Device-resident serving throughput: jax.Array in → jax.Array out.
 
-    The upload is excluded (scalar-pull barrier first — ``block_until_ready`` is
-    unreliable through the tunnel); the timed quantity is dispatch + device compute +
-    the scalar completion probe, i.e. what a serving pipeline whose features already
-    live on device would pay.
+    The upload is excluded (scalar-pull barrier first); the timed quantity is
+    dispatch + device compute + the scalar completion probe, i.e. what a serving
+    pipeline whose features already live on device would pay.
     """
     import jax
     import jax.numpy as jnp
 
     X_d = jax.device_put(X)
     jax.device_get(jnp.sum(X_d))  # barrier on the upload
-    out = model.predict(X_d)
-    jax.device_get(jnp.sum(out))  # compile + warm
-    best = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        out = model.predict(X_d)
-        jax.device_get(jnp.sum(out))
-        best = min(best, time.perf_counter() - t0)
+    best, _ = timed_best_device(lambda: model.predict(X_d))
     return best
 
 
@@ -174,23 +188,10 @@ def measure_device_quantile_serving(model, X) -> dict:
 
     X_d = jax.device_put(X)
     jax.device_get(jnp.sum(X_d))
-    quantiles = (0.025, 0.5, 0.975)
-    out = model.predict_quantiles(X_d, quantiles=quantiles)
-    jax.device_get(jnp.sum(out))  # compile + warm (stages the planes too)
-    best_q = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        out = model.predict_quantiles(X_d, quantiles=quantiles)
-        jax.device_get(jnp.sum(out))
-        best_q = min(best_q, time.perf_counter() - t0)
-    out = model.predict_interval(X_d, coverage=0.95)
-    jax.device_get(jnp.sum(out))
-    best_i = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        out = model.predict_interval(X_d, coverage=0.95)
-        jax.device_get(jnp.sum(out))
-        best_i = min(best_i, time.perf_counter() - t0)
+    best_q, _ = timed_best_device(
+        lambda: model.predict_quantiles(X_d, quantiles=(0.025, 0.5, 0.975))
+    )
+    best_i, _ = timed_best_device(lambda: model.predict_interval(X_d, coverage=0.95))
     return {"quantiles_s": round(best_q, 4), "interval_s": round(best_i, 4)}
 
 
@@ -270,6 +271,8 @@ def device_phase_breakdown(X, y, model) -> dict:
     from neo_ls_svm_tpu.ops.pallas.gram import fused_augmented_gram, w_basis_from_augmented
     from neo_ls_svm_tpu.ops.pallas.sweep import fused_loo_sweep
 
+    if jax.devices()[0].platform != "tpu":
+        return {"skipped": "non-TPU backend"}
     n = X.shape[0]
     D = model._M_map.shape[1]
     M = D + 1
@@ -282,36 +285,19 @@ def device_phase_breakdown(X, y, model) -> dict:
     s2_d = s_d * s_d
     jax.device_get(jnp.sum(X_d[0]))  # barrier on the staging transfer
     sign = jnp.concatenate([jnp.ones((M,), dtype), -jnp.ones((M,), dtype)])
-    use_pallas = jax.devices()[0].platform == "tpu"
 
-    def timed(fn):
-        def barrier(out):
-            jax.device_get(jnp.sum(jax.tree.leaves(out)[0]))
-
-        out = fn()  # compile + warm
-        barrier(out)
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            out = fn()
-            barrier(out)
-            best = min(best, time.perf_counter() - t0)
-        return best, out
-
-    if not use_pallas:
-        return {"skipped": "non-TPU backend"}
-    gram_s, G_aug = timed(
+    gram_s, G_aug = timed_best_device(
         lambda: fused_augmented_gram(X_d, M_d, b_d, s2_d, y_d, block_rows=256)
     )
     G, b_vec = w_basis_from_augmented(G_aug, D)
     B = embed_from_gram_blocks(G, M)
     inv_c0 = jnp.asarray(float(n * M), dtype)
-    eigh_s, (lam, Qs, inv_c0_out) = timed(
+    eigh_s, (lam, Qs, inv_c0_out) = timed_best_device(
         lambda: _eigendecompose(B, None, inv_c0, sign)
     )
     k = jnp.dot(Qs.T, b_vec)
     r_all = 1.0 / (jnp.asarray(g)[None, :] + lam[:, None])
-    sweep_s, _ = timed(
+    sweep_s, _ = timed_best_device(
         lambda: fused_loo_sweep(
             X_d, M_d, b_d, y_d, s_d, s2_d, Qs, r_all, k,
             block_rows=128, is_classifier=False, inv_c0_static=float(n * M),

@@ -50,7 +50,7 @@ from neo_ls_svm_tpu.ops.orff import (
 )
 from neo_ls_svm_tpu.utils.base import BaseEstimator, clone
 from neo_ls_svm_tpu.utils.metrics import accuracy_score, r2_score
-from neo_ls_svm_tpu.utils.transfer import staged_device_put
+from neo_ls_svm_tpu.utils.transfer import staged_device_put, will_stage
 from neo_ls_svm_tpu.utils.typing import (
     FloatMatrix,
     FloatTensor,
@@ -631,11 +631,18 @@ class NeoLSSVM(BaseEstimator):
             import ml_dtypes  # noqa: PLC0415 - ships with jax
 
             cast_dtype = ml_dtypes.bfloat16
-        # X rides a pipelined chunk train (staged_device_put overlaps the host-side
-        # serialization/cast with the wire transfer); the O(n) vectors share ONE
-        # batched transfer — every host→device copy pays ~100 ms of tunnel latency.
-        X_dev = staged_device_put(X_p, cast_dtype=cast_dtype)
-        y_d, s_d, g_d = jax.device_put((y_p, s_p, self.γs_))
+        # Large X rides a pipelined chunk train (staged_device_put overlaps the
+        # host-side serialization/cast with the wire transfer) with the O(n) vectors
+        # in ONE separate batched put; when staging would not engage, everything
+        # shares a single batched transfer instead — every host→device copy pays
+        # ~100 ms of tunnel latency, so the call count only grows where pipelining
+        # buys it back.
+        if will_stage(X_p, cast_dtype):
+            X_dev = staged_device_put(X_p, cast_dtype=cast_dtype)
+            y_d, s_d, g_d = jax.device_put((y_p, s_p, self.γs_))
+        else:
+            X_host = X_p if cast_dtype is None else X_p.astype(cast_dtype)
+            X_dev, y_d, s_d, g_d = jax.device_put((X_host, y_p, s_p, self.γs_))
         if X_dev.dtype != dtype:
             X_dev = X_dev.astype(dtype)
         rs = self.random_state

@@ -172,6 +172,16 @@ class BaseEstimator:
         """Request metadata (e.g. ``sample_weight=True``) to be routed to ``score``."""
         return self._set_method_request("score", requests)
 
+    def __sklearn_clone__(self) -> "BaseEstimator":
+        """Make ``sklearn.base.clone`` delegate to this package's :func:`clone`.
+
+        sklearn's default clone only preserves its own ``_metadata_request``
+        attribute; without this hook, routing requests stored in
+        ``_metadata_request_overrides`` would be silently dropped by every sklearn
+        meta-estimator clone (Pipeline/cross_validate re-route against an unset
+        request and raise ``UnsetMetadataPassedError``)."""
+        return clone(self)
+
 
 class TransformerMixin:
     """Adds ``fit_transform`` to transformers."""

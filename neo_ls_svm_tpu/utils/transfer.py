@@ -28,7 +28,22 @@ _TARGET_CHUNK_BYTES = 16 * 1024 * 1024
 #: Below this post-cast size a single device_put wins (no pipelining to gain,
 #: and every extra call pays the tunnel's per-call latency).
 _MIN_STAGED_BYTES = 2 * _TARGET_CHUNK_BYTES
+#: Above this size the on-device concatenate's transient 2× HBM footprint (chunk
+#: buffers + stitched copy both live until the concat executes) risks OOM on a
+#: 16 GB chip, so huge arrays fall back to the 1×-peak monolithic put.
+_MAX_STAGED_BYTES = 1 * 1024**3
 _MAX_CHUNKS = 16
+
+
+def will_stage(X: np.ndarray, cast_dtype: "np.dtype | None" = None) -> bool:
+    """True when :func:`staged_device_put` would actually chunk this upload.
+
+    Callers batching several small arrays into one ``device_put`` can use this to
+    keep X in the batch when staging would not engage (one tunnel call instead of
+    two; each call pays ~100 ms of latency)."""
+    itemsize = np.dtype(cast_dtype).itemsize if cast_dtype is not None else X.itemsize
+    wire_bytes = X.size * itemsize
+    return X.ndim == 2 and _MIN_STAGED_BYTES <= wire_bytes <= _MAX_STAGED_BYTES
 
 
 def staged_device_put(X: np.ndarray, cast_dtype: "np.dtype | None" = None) -> jax.Array:
@@ -43,11 +58,14 @@ def staged_device_put(X: np.ndarray, cast_dtype: "np.dtype | None" = None) -> ja
 
     Returns a device array equal to ``jax.device_put(X.astype(cast_dtype))`` —
     bitwise, since both row-slicing and concatenation are value-preserving.
+    Arrays above :data:`_MAX_STAGED_BYTES` also take the monolithic path: the
+    on-device stitch transiently doubles HBM (chunks + concatenated copy), which
+    a near-HBM-sized streaming fit cannot afford.
     """
+    if not will_stage(X, cast_dtype):
+        return jax.device_put(X if cast_dtype is None else X.astype(cast_dtype))
     itemsize = np.dtype(cast_dtype).itemsize if cast_dtype is not None else X.itemsize
     wire_bytes = X.size * itemsize
-    if X.ndim != 2 or wire_bytes < _MIN_STAGED_BYTES:
-        return jax.device_put(X if cast_dtype is None else X.astype(cast_dtype))
     num_chunks = min(
         _MAX_CHUNKS, max(2, math.ceil(wire_bytes / _TARGET_CHUNK_BYTES)), X.shape[0]
     )

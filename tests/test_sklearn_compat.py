@@ -118,3 +118,34 @@ def test_public_api_surface_superset_of_reference() -> None:
         if not name.startswith("_") and callable(getattr(ref_cls, name)) and name not in ours
     ]
     assert not missing, f"reference API not covered: {missing}"
+
+
+def test_metadata_routing_survives_sklearn_clone_in_pipeline() -> None:
+    """sklearn.base.clone must preserve routing requests (__sklearn_clone__ hook):
+    meta-estimators clone before fitting, so without it a requested sample_weight
+    raises UnsetMetadataPassedError from inside cross_validate(Pipeline(...))."""
+    import numpy as np
+    import sklearn
+    from sklearn.base import clone as sk_clone
+    from sklearn.model_selection import cross_validate
+    from sklearn.pipeline import Pipeline
+    from sklearn.preprocessing import StandardScaler
+
+    m = NeoLSSVM().set_fit_request(sample_weight=True).set_score_request(sample_weight=True)
+    assert sk_clone(m).get_metadata_routing().fit.requests == {"sample_weight": True}
+
+    rng = np.random.RandomState(3)
+    X = rng.randn(300, 4).astype(np.float64)
+    y = X @ rng.randn(4) + 0.05 * rng.randn(300)
+    w = rng.rand(300)
+    sklearn.set_config(enable_metadata_routing=True)
+    try:
+        pipe = Pipeline(
+            [("sc", StandardScaler().set_fit_request(sample_weight=False)), ("m", m)]
+        )
+        out = cross_validate(
+            pipe, X, y, cv=2, params={"sample_weight": w}, error_score="raise"
+        )
+        assert np.all(np.isfinite(out["test_score"]))
+    finally:
+        sklearn.set_config(enable_metadata_routing=False)

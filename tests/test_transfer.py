@@ -47,3 +47,28 @@ def test_chunk_count_capped_by_rows(monkeypatch) -> None:
     _force_chunking(monkeypatch, target_bytes=64)
     X = np.random.RandomState(2).randn(2, 100).astype(np.float32)
     np.testing.assert_array_equal(np.asarray(staged_device_put(X)), X)
+
+
+def test_oversized_arrays_fall_back_to_monolithic(monkeypatch) -> None:
+    # Above _MAX_STAGED_BYTES the on-device stitch would transiently double HBM,
+    # so staging must not engage (will_stage False → plain single device_put).
+    _force_chunking(monkeypatch)
+    monkeypatch.setattr(transfer, "_MAX_STAGED_BYTES", 1024)
+    X = np.random.RandomState(3).randn(64, 16).astype(np.float32)  # 4KB > cap
+    assert not transfer.will_stage(X)
+    np.testing.assert_array_equal(np.asarray(staged_device_put(X)), X)
+
+
+def test_will_stage_matches_staging_decision(monkeypatch) -> None:
+    _force_chunking(monkeypatch)
+    big = np.zeros((64, 4), np.float32)  # 1KB > 2*256B threshold
+    small = np.zeros((4, 4), np.float32)
+    assert transfer.will_stage(big)
+    assert not transfer.will_stage(small)
+    assert not transfer.will_stage(big[0])  # 1-D never stages
+    # bf16 cast halves the wire size: a buffer just over threshold in f32 drops under.
+    edge = np.zeros((48, 4), np.float32)  # 768B wire in f32, 384B in bf16
+    assert transfer.will_stage(edge)
+    import ml_dtypes
+
+    assert not transfer.will_stage(edge, cast_dtype=ml_dtypes.bfloat16)
