@@ -458,6 +458,10 @@ def main() -> None:
                 "_device_pretransform_bf16",
                 {"pre_transform": "device", "transfer": "bfloat16"},
             ),
+            (
+                "_device_pretransform_int8",
+                {"pre_transform": "device", "transfer": "int8"},
+            ),
         ):
             try:
                 full_s, full_model, full_phases = timed_best_fit(X1, y1, trials=2, **params)

@@ -203,7 +203,7 @@ class NeoLSSVM(BaseEstimator):
         random_state: int | np.random.RandomState | None = 42,
         precision: Literal["high", "fast"] = "high",
         pre_transform: Literal["host", "device"] = "host",
-        transfer: Literal["float32", "bfloat16"] = "float32",
+        transfer: Literal["float32", "bfloat16", "int8"] = "float32",
         mesh: Any = None,
     ) -> None:
         self.primal_feature_map = primal_feature_map
@@ -267,12 +267,12 @@ class NeoLSSVM(BaseEstimator):
         if self.pre_transform not in ("host", "device"):
             msg = f"pre_transform must be 'host' or 'device', got {self.pre_transform!r}."
             raise ValueError(msg)
-        if self.transfer not in ("float32", "bfloat16"):
-            msg = f"transfer must be 'float32' or 'bfloat16', got {self.transfer!r}."
+        if self.transfer not in ("float32", "bfloat16", "int8"):
+            msg = f"transfer must be 'float32', 'bfloat16' or 'int8', got {self.transfer!r}."
             raise ValueError(msg)
-        if self.transfer == "bfloat16" and self.pre_transform != "device":
+        if self.transfer != "float32" and self.pre_transform != "device":
             msg = (
-                "transfer='bfloat16' requires pre_transform='device': the host "
+                f"transfer={self.transfer!r} requires pre_transform='device': the host "
                 "pre-transform path carries the bit-parity contract, which a lossy "
                 "feature upload would silently break."
             )
@@ -360,13 +360,13 @@ class NeoLSSVM(BaseEstimator):
                 and type(self.primal_feature_map_).complexity_matrix
                 is RandomFourierFeatures.complexity_matrix
             )
-            if self.transfer == "bfloat16" and not use_device_pt:
+            if self.transfer != "float32" and not use_device_pt:
                 msg = (
-                    "transfer='bfloat16' only applies when the fit takes the on-device "
-                    "pre-transform route (single-chip primal, random-Fourier feature "
-                    "map with the identity complexity matrix); this fit would route "
-                    f"through {route!r} with the host pre-transform, silently ignoring "
-                    "the half-width upload you opted into."
+                    f"transfer={self.transfer!r} only applies when the fit takes the "
+                    "on-device pre-transform route (single-chip primal, random-Fourier "
+                    "feature map with the identity complexity matrix); this fit would "
+                    f"route through {route!r} with the host pre-transform, silently "
+                    "ignoring the narrow upload you opted into."
                 )
                 raise ValueError(msg)
             if route in ("streaming", "inmemory") and not use_device_pt:
@@ -542,11 +542,11 @@ class NeoLSSVM(BaseEstimator):
             M = M_map.shape[1] + 1
             self._inv_c0 = 1.0 if C_emb is not None else float(X.shape[0] * M)
         else:
-            if self.transfer == "bfloat16":
+            if self.transfer != "float32":
                 msg = (
-                    "transfer='bfloat16' only applies to the on-device pre-transform "
-                    f"route; this fit (n={X.shape[0]} ≤ {DUAL_THRESHOLD}) routes to the "
-                    "dual solver with the host pre-transform."
+                    f"transfer={self.transfer!r} only applies to the on-device "
+                    f"pre-transform route; this fit (n={X.shape[0]} ≤ {DUAL_THRESHOLD}) "
+                    "routes to the dual solver with the host pre-transform."
                 )
                 raise ValueError(msg)
             nz = sample_weight_ > 0
@@ -622,6 +622,8 @@ class NeoLSSVM(BaseEstimator):
             else sample_weight_
         )
         cast_dtype = None
+        cast_fn = None
+        quant_scale = None
         if self.transfer == "bfloat16":
             # Lossy-transfer mode: X crosses the wire at half width (the tunnel upload
             # is the measured wall of large device-pre-transform fits) and is widened
@@ -631,20 +633,48 @@ class NeoLSSVM(BaseEstimator):
             import ml_dtypes  # noqa: PLC0415 - ships with jax
 
             cast_dtype = ml_dtypes.bfloat16
+        elif self.transfer == "int8":
+            # Quarter-width wire mode: symmetric per-column affine quantisation,
+            # x ≈ q·(max|x|/127) with q ∈ [-127, 127], dequantised on device right
+            # after the upload. For column-scaled data the ~7-bit effective mantissa
+            # is close to bfloat16's 8 (which spends bits on dynamic range a single
+            # column doesn't have); heavy-tailed columns lose more — this mode is for
+            # tunnel/DCN-bound ingestion where the upload dominates the fit wall.
+            rows = X_p[:n_rows]
+            if not np.all(sample_weight_ > 0):
+                # Zero-weight rows must not influence the fit; an absurd-valued
+                # zero-weight row would otherwise stretch the grid and quantise the
+                # real data to zero. (They still upload, clipped to the ±127 rim.)
+                rows = rows[sample_weight_ > 0]
+            col_absmax = np.maximum(rows.max(axis=0), -rows.min(axis=0))
+            quant_scale = np.where(col_absmax > 0, col_absmax / 127.0, 1.0).astype(dtype)
+            inv_scale = (1.0 / quant_scale).astype(dtype)
+            cast_dtype = np.dtype(np.int8)
+
+            def cast_fn(chunk: np.ndarray) -> np.ndarray:
+                return np.clip(np.rint(chunk * inv_scale), -127, 127).astype(np.int8)
+
         # Large X rides a pipelined chunk train (staged_device_put overlaps the
         # host-side serialization/cast with the wire transfer) with the O(n) vectors
         # in ONE separate batched put; when staging would not engage, everything
         # shares a single batched transfer instead — every host→device copy pays
         # ~100 ms of tunnel latency, so the call count only grows where pipelining
         # buys it back.
+        small_put = (y_p, s_p, self.γs_) if quant_scale is None else (y_p, s_p, self.γs_, quant_scale)
         if will_stage(X_p, cast_dtype):
-            X_dev = staged_device_put(X_p, cast_dtype=cast_dtype)
-            y_d, s_d, g_d = jax.device_put((y_p, s_p, self.γs_))
+            X_dev = staged_device_put(X_p, cast_dtype=cast_dtype, cast_fn=cast_fn)
+            small_dev = jax.device_put(small_put)
         else:
-            X_host = X_p if cast_dtype is None else X_p.astype(cast_dtype)
-            X_dev, y_d, s_d, g_d = jax.device_put((X_host, y_p, s_p, self.γs_))
+            if cast_fn is not None:
+                X_host = cast_fn(X_p)
+            else:
+                X_host = X_p if cast_dtype is None else X_p.astype(cast_dtype)
+            X_dev, *small_dev = jax.device_put((X_host, *small_put))
+        y_d, s_d, g_d = small_dev[:3]
         if X_dev.dtype != dtype:
             X_dev = X_dev.astype(dtype)
+        if quant_scale is not None:
+            X_dev = X_dev * small_dev[3][None, :]
         rs = self.random_state
         seed = (
             int(rs)

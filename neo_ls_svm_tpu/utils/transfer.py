@@ -46,7 +46,11 @@ def will_stage(X: np.ndarray, cast_dtype: "np.dtype | None" = None) -> bool:
     return X.ndim == 2 and _MIN_STAGED_BYTES <= wire_bytes <= _MAX_STAGED_BYTES
 
 
-def staged_device_put(X: np.ndarray, cast_dtype: "np.dtype | None" = None) -> jax.Array:
+def staged_device_put(
+    X: np.ndarray,
+    cast_dtype: "np.dtype | None" = None,
+    cast_fn=None,
+) -> jax.Array:
     """Upload a 2-D host array, pipelining serialization/cast with the wire transfer.
 
     Splits ``X`` into row chunks sized ~:data:`_TARGET_CHUNK_BYTES` on the wire and
@@ -54,16 +58,22 @@ def staged_device_put(X: np.ndarray, cast_dtype: "np.dtype | None" = None) -> ja
     the device buffers with one on-device concatenate (an HBM copy, microseconds at
     HBM bandwidth). With ``cast_dtype`` each chunk is cast on host immediately
     before its upload, so the cast of chunk *k+1* overlaps the transfer of chunk
-    *k*. Small arrays (or 1-D/0-D input) fall back to a plain ``device_put``.
+    *k*. ``cast_fn`` replaces the plain ``astype`` with an arbitrary per-chunk host
+    transform (e.g. int8 quantisation) whose *output* dtype must be ``cast_dtype``
+    so the wire-size accounting stays right; it rides the same pipeline. Small
+    arrays (or 1-D/0-D input) fall back to a plain ``device_put``.
 
-    Returns a device array equal to ``jax.device_put(X.astype(cast_dtype))`` —
-    bitwise, since both row-slicing and concatenation are value-preserving.
+    Returns a device array equal to ``jax.device_put(cast(X))`` — bitwise, since
+    ``cast_fn`` is applied per row chunk and both row-slicing and concatenation are
+    value-preserving (``cast_fn`` must therefore be row-independent).
     Arrays above :data:`_MAX_STAGED_BYTES` also take the monolithic path: the
     on-device stitch transiently doubles HBM (chunks + concatenated copy), which
     a near-HBM-sized streaming fit cannot afford.
     """
+    if cast_fn is None and cast_dtype is not None:
+        cast_fn = lambda chunk: chunk.astype(cast_dtype)  # noqa: E731
     if not will_stage(X, cast_dtype):
-        return jax.device_put(X if cast_dtype is None else X.astype(cast_dtype))
+        return jax.device_put(X if cast_fn is None else cast_fn(X))
     itemsize = np.dtype(cast_dtype).itemsize if cast_dtype is not None else X.itemsize
     wire_bytes = X.size * itemsize
     num_chunks = min(
@@ -71,7 +81,7 @@ def staged_device_put(X: np.ndarray, cast_dtype: "np.dtype | None" = None) -> ja
     )
     parts = []
     for chunk in np.array_split(X, num_chunks, axis=0):
-        if cast_dtype is not None:
-            chunk = chunk.astype(cast_dtype)
+        if cast_fn is not None:
+            chunk = cast_fn(chunk)
         parts.append(jax.device_put(chunk))
     return jnp.concatenate(parts, axis=0)

@@ -153,6 +153,40 @@ def test_bfloat16_transfer_rejects_non_device_routes() -> None:
         ).fit(X2, y2)
 
 
+def test_int8_transfer_score_within_noise() -> None:
+    """transfer='int8' quarters the feature upload via per-column symmetric
+    quantisation; scores must stay within noise of the full-precision device path."""
+    X, y = make_regression_dataset(n=4000, seed=46)
+    full = NeoLSSVM(pre_transform="device").fit(X[:3000], y[:3000])
+    lossy = NeoLSSVM(pre_transform="device", transfer="int8").fit(X[:3000], y[:3000])
+    s_full = full.score(X[3000:], y[3000:])
+    s_lossy = lossy.score(X[3000:], y[3000:])
+    assert abs(s_full - s_lossy) < 0.05, (s_full, s_lossy)
+
+
+def test_int8_transfer_guards_match_bfloat16() -> None:
+    X, y = make_regression_dataset(n=200, seed=47)
+    with pytest.raises(ValueError, match="int8"):
+        NeoLSSVM(transfer="int8").fit(X, y)  # requires pre_transform='device'
+    X2, y2 = make_regression_dataset(n=700, seed=48)  # n <= 1024 → dual route
+    with pytest.raises(ValueError, match="dual"):
+        NeoLSSVM(pre_transform="device", transfer="int8").fit(X2, y2)
+
+
+def test_int8_transfer_scale_ignores_zero_weight_rows() -> None:
+    """An absurd-valued zero-weight row must not stretch the quantisation grid
+    (it would silently quantise every real row to zero)."""
+    X, y = make_regression_dataset(n=2500, seed=49)
+    X_poison = X.copy()
+    X_poison[0] = 1e6
+    w = np.ones_like(y)
+    w[0] = 0.0
+    model = NeoLSSVM(pre_transform="device", transfer="int8").fit(
+        X_poison, y, sample_weight=w
+    )
+    assert model.score(X[1:], y[1:]) > 0.8
+
+
 def test_custom_complexity_matrix_keeps_host_pre_transform() -> None:
     """A feature map overriding complexity_matrix needs the whitened-GEVD host
     solver; pre_transform='device' must fall back to the host path (matching its

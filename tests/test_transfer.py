@@ -35,6 +35,26 @@ def test_staged_cast_matches_host_cast(monkeypatch) -> None:
     )
 
 
+def test_staged_cast_fn_matches_monolithic(monkeypatch) -> None:
+    """A per-chunk cast_fn (the int8 quantiser) must be bitwise-equal to applying
+    the same transform to the whole array, chunked or not."""
+    X = np.random.RandomState(4).randn(123, 9).astype(np.float32)
+    inv_scale = (127.0 / np.maximum(np.abs(X).max(axis=0), 1e-12)).astype(np.float32)
+
+    def quantize(chunk: np.ndarray) -> np.ndarray:
+        return np.clip(np.rint(chunk * inv_scale), -127, 127).astype(np.int8)
+
+    expected = quantize(X)
+    # Monolithic fallback path (no chunk-forcing): cast_fn still applies.
+    out_mono = staged_device_put(X, cast_dtype=np.dtype(np.int8), cast_fn=quantize)
+    assert out_mono.dtype == jnp.int8
+    np.testing.assert_array_equal(np.asarray(out_mono), expected)
+    # Chunked path.
+    _force_chunking(monkeypatch)
+    out_chunked = staged_device_put(X, cast_dtype=np.dtype(np.int8), cast_fn=quantize)
+    np.testing.assert_array_equal(np.asarray(out_chunked), expected)
+
+
 def test_small_and_non_2d_fall_back_to_plain_put() -> None:
     X_small = np.arange(12, dtype=np.float32).reshape(3, 4)
     np.testing.assert_array_equal(np.asarray(staged_device_put(X_small)), X_small)
