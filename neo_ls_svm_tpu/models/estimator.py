@@ -952,10 +952,42 @@ class NeoLSSVM(BaseEstimator):
             arr = self._M_map if self.primal_ else self.X_
         return jax.dtypes.canonicalize_dtype(arr.dtype)
 
+    def _upload_chunk(self, X_c: np.ndarray) -> jax.Array:
+        """Upload one host prediction chunk at the model's wire width.
+
+        ``transfer="bfloat16"``/``"int8"`` models opted into lossy feature uploads at
+        fit time; the host predict path honors the same policy, shrinking its wall
+        (which the bench floor analysis shows is ~85-95% wire transfer) by the same
+        2×/4×. The int8 grid is per chunk — it is dequantised immediately on device,
+        so no cross-chunk (or fit-time) grid consistency is needed. The default
+        ``transfer="float32"`` path is byte-identical to a plain upload.
+        """
+        if self.transfer == "bfloat16":
+            import ml_dtypes  # noqa: PLC0415 - ships with jax
+
+            return jnp.asarray(X_c.astype(ml_dtypes.bfloat16)).astype(self._compute_dtype())
+        if self.transfer == "int8":
+            col_absmax = np.maximum(X_c.max(axis=0), -X_c.min(axis=0))
+            scale = np.where(col_absmax > 0, col_absmax / 127.0, 1.0).astype(X_c.dtype)
+            q = np.clip(np.rint(X_c * (1.0 / scale)), -127, 127).astype(np.int8)
+            q_d, scale_d = jax.device_put((q, scale))  # one batched transfer
+            return q_d.astype(self._compute_dtype()) * scale_d[None, :]
+        return jnp.asarray(X_c)
+
     def _primal_decision_device(self, X_c: jax.Array) -> jax.Array:
         """ŷ for one device-resident chunk (shared by the host and device paths)."""
         return primal_decision_function(
             X_c, self._device("M_map"), self._device("b_map"), self._device("beta_emb")
+        )
+
+    def _primal_decision_var_device(self, X_c: jax.Array) -> jax.Array:
+        """ŷ and σ² for one chunk, stacked (n, 2).
+
+        The conformal host path needs both; fusing them into one chunk program means
+        X crosses the tunnel ONCE instead of twice (the mapped features are recomputed
+        on device — two extra tiny matmuls, nothing against the wire cost)."""
+        return jnp.stack(
+            [self._primal_decision_device(X_c), self._primal_var_device(X_c)], axis=1
         )
 
     def _primal_var_device(self, X_c: jax.Array) -> jax.Array:
@@ -1024,8 +1056,8 @@ class NeoLSSVM(BaseEstimator):
         X = _check_n_features(self, check_array(X, dtype=(np.float64, np.float32)))
         if self.primal_:
             yhat = self._in_chunks(
-                X.astype(self._M_map.dtype),
-                lambda X_c: self._primal_decision_device(jnp.asarray(X_c)),
+                X.astype(self._compute_dtype()),
+                lambda X_c: self._primal_decision_device(self._upload_chunk(X_c)),
                 device_out=False,
             )
         else:
@@ -1065,8 +1097,8 @@ class NeoLSSVM(BaseEstimator):
         X = _check_n_features(self, check_array(X, dtype=(np.float64, np.float32)))
         if self.primal_:
             var = self._in_chunks(
-                X.astype(self._M_map.dtype),
-                lambda X_c: self._primal_var_device(jnp.asarray(X_c)),
+                X.astype(self._compute_dtype()),
+                lambda X_c: self._primal_var_device(self._upload_chunk(X_c)),
                 device_out=False,
             )
         else:
@@ -1198,8 +1230,19 @@ class NeoLSSVM(BaseEstimator):
             return self._predict_quantiles_device(X, np.asarray(quantiles), priority)
         X_df = X
         X = _check_n_features(self, check_array(X, dtype=(np.float64, np.float32)))
-        yhat = self.decision_function(X)
-        X_cqr = self.predict_std(X)[:, np.newaxis]
+        if self.primal_:
+            # One chunk pass computes both conformal inputs (ŷ and σ), so X crosses
+            # the tunnel once — the host conformal path is wire-bound like predict.
+            both = self._in_chunks(
+                X.astype(self._compute_dtype()),
+                lambda X_c: self._primal_decision_var_device(self._upload_chunk(X_c)),
+                device_out=False,
+            )
+            yhat = both[:, 0]
+            X_cqr = np.sqrt(np.maximum(both[:, 1], 0.0))[:, np.newaxis]
+        else:
+            yhat = self.decision_function(X)
+            X_cqr = np.asarray(self.predict_std(X))[:, np.newaxis]
         if self._estimator_type == "regressor":
             X_cqr = np.hstack([X_cqr, np.abs(yhat[:, np.newaxis])])
         cqr_abs, bias_abs = self._lazily_fit_conformal_predictor("Δŷ", quantiles)

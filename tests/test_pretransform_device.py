@@ -275,3 +275,61 @@ def test_get_params_roundtrip() -> None:
     from neo_ls_svm_tpu.utils.base import clone
 
     assert clone(model).pre_transform == "device"
+
+
+def test_transfer_policy_narrows_predict_uploads() -> None:
+    """Serving honors the fit-time wire policy: a transfer='bfloat16'/'int8' model
+    uploads prediction chunks at the narrow width (dequantised on device), and the
+    default 'float32' upload stays bitwise-identical to the input."""
+    import ml_dtypes
+
+    X, y = make_regression_dataset(n=3000, seed=50)
+    chunk = X[:64].astype(np.float32)
+
+    full = NeoLSSVM(pre_transform="device").fit(X, y)
+    up_full = np.asarray(full._upload_chunk(chunk))
+    np.testing.assert_array_equal(up_full, chunk)
+
+    bf16 = NeoLSSVM(pre_transform="device", transfer="bfloat16").fit(X, y)
+    up_bf16 = np.asarray(bf16._upload_chunk(chunk))
+    np.testing.assert_array_equal(
+        up_bf16, chunk.astype(ml_dtypes.bfloat16).astype(np.float32)
+    )
+
+    i8 = NeoLSSVM(pre_transform="device", transfer="int8").fit(X, y)
+    up_i8 = np.asarray(i8._upload_chunk(chunk))
+    col_absmax = np.maximum(chunk.max(axis=0), -chunk.min(axis=0))
+    scale = np.where(col_absmax > 0, col_absmax / 127.0, 1.0).astype(np.float32)
+    q = np.clip(np.rint(chunk * (1.0 / scale)), -127, 127).astype(np.int8)
+    np.testing.assert_allclose(up_i8, q.astype(np.float32) * scale[None, :], rtol=1e-6)
+    # End-to-end: lossy serving predictions track the model's own full-width ones.
+    yhat_lossy = i8.predict(X[:500])
+    import jax.numpy as jnp
+
+    up_save = NeoLSSVM._upload_chunk
+    try:
+        NeoLSSVM._upload_chunk = lambda self, X_c: jnp.asarray(X_c)
+        yhat_full_width = i8.predict(X[:500])
+    finally:
+        NeoLSSVM._upload_chunk = up_save
+    err = np.abs(yhat_lossy - yhat_full_width)
+    assert np.median(err) < 0.05 * (np.quantile(y, 0.75) - np.quantile(y, 0.25))
+
+
+def test_conformal_host_path_fused_chunk_matches_components() -> None:
+    """The fused ŷ+σ² chunk program behind the host predict_quantiles path must agree
+    exactly with decision_function and predict_std (same device programs, one upload)."""
+    import jax.numpy as jnp
+
+    X, y = make_regression_dataset(n=2000, seed=51)
+    model = NeoLSSVM().fit(X, y)
+    assert model.primal_
+    chunk = X[:128].astype(model._compute_dtype())
+    both = np.asarray(model._primal_decision_var_device(jnp.asarray(chunk)))
+    np.testing.assert_allclose(both[:, 0], np.asarray(model.decision_function(X[:128])), rtol=1e-6, atol=1e-10)
+    np.testing.assert_allclose(
+        np.sqrt(np.maximum(both[:, 1], 0.0)),
+        np.asarray(model.predict_std(X[:128])),
+        rtol=1e-6,
+        atol=1e-10,
+    )
