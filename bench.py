@@ -425,6 +425,8 @@ def main() -> None:
         for lane, params in (
             ("fast_precision", {"precision": "fast"}),
             ("device_pretransform", {"pre_transform": "device"}),
+            ("device_pretransform_bf16", {"pre_transform": "device", "transfer": "bfloat16"}),
+            ("device_pretransform_int8", {"pre_transform": "device", "transfer": "int8"}),
         ):
             try:
                 lane_s, lane_model, lane_phases = timed_best_fit(X, y, trials=2, **params)

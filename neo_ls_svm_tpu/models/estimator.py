@@ -965,14 +965,21 @@ class NeoLSSVM(BaseEstimator):
         if self.transfer == "bfloat16":
             import ml_dtypes  # noqa: PLC0415 - ships with jax
 
-            return jnp.asarray(X_c.astype(ml_dtypes.bfloat16)).astype(self._compute_dtype())
+            X_d = staged_device_put(X_c, cast_dtype=np.dtype(ml_dtypes.bfloat16))
+            return X_d.astype(self._compute_dtype())
         if self.transfer == "int8":
             col_absmax = np.maximum(X_c.max(axis=0), -X_c.min(axis=0))
             scale = np.where(col_absmax > 0, col_absmax / 127.0, 1.0).astype(X_c.dtype)
-            q = np.clip(np.rint(X_c * (1.0 / scale)), -127, 127).astype(np.int8)
-            q_d, scale_d = jax.device_put((q, scale))  # one batched transfer
-            return q_d.astype(self._compute_dtype()) * scale_d[None, :]
-        return jnp.asarray(X_c)
+            inv_scale = (1.0 / scale).astype(X_c.dtype)
+            q_d = staged_device_put(
+                X_c,
+                cast_dtype=np.dtype(np.int8),
+                cast_fn=lambda chunk: np.clip(
+                    np.rint(chunk * inv_scale), -127, 127
+                ).astype(np.int8),
+            )
+            return q_d.astype(self._compute_dtype()) * jnp.asarray(scale)[None, :]
+        return staged_device_put(X_c)
 
     def _primal_decision_device(self, X_c: jax.Array) -> jax.Array:
         """ŷ for one device-resident chunk (shared by the host and device paths)."""
