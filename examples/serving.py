@@ -77,6 +77,8 @@ def main() -> None:
             "transfer": transfer,
         }
         m = NeoLSSVM(**params).fit(X_train, y_train)
+        m.predict(X_serve)  # warm-up: JIT-compile off the clock (the timing below is
+        # only meaningful on a tunneled/remote backend, where the wire is the wall)
         t0 = time.perf_counter()
         yhat = m.predict(X_serve)  # NumPy in → NumPy out, uploads at the wire width
         dt = time.perf_counter() - t0

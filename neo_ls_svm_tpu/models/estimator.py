@@ -50,7 +50,7 @@ from neo_ls_svm_tpu.ops.orff import (
 )
 from neo_ls_svm_tpu.utils.base import BaseEstimator, clone
 from neo_ls_svm_tpu.utils.metrics import accuracy_score, r2_score
-from neo_ls_svm_tpu.utils.transfer import staged_device_put, will_stage
+from neo_ls_svm_tpu.utils.transfer import staged_device_put, symmetric_int8_grid, will_stage
 from neo_ls_svm_tpu.utils.typing import (
     FloatMatrix,
     FloatTensor,
@@ -646,13 +646,8 @@ class NeoLSSVM(BaseEstimator):
                 # zero-weight row would otherwise stretch the grid and quantise the
                 # real data to zero. (They still upload, clipped to the ±127 rim.)
                 rows = rows[sample_weight_ > 0]
-            col_absmax = np.maximum(rows.max(axis=0), -rows.min(axis=0))
-            quant_scale = np.where(col_absmax > 0, col_absmax / 127.0, 1.0).astype(dtype)
-            inv_scale = (1.0 / quant_scale).astype(dtype)
+            quant_scale, cast_fn = symmetric_int8_grid(rows)
             cast_dtype = np.dtype(np.int8)
-
-            def cast_fn(chunk: np.ndarray) -> np.ndarray:
-                return np.clip(np.rint(chunk * inv_scale), -127, 127).astype(np.int8)
 
         # Large X rides a pipelined chunk train (staged_device_put overlaps the
         # host-side serialization/cast with the wire transfer) with the O(n) vectors
@@ -968,16 +963,8 @@ class NeoLSSVM(BaseEstimator):
             X_d = staged_device_put(X_c, cast_dtype=np.dtype(ml_dtypes.bfloat16))
             return X_d.astype(self._compute_dtype())
         if self.transfer == "int8":
-            col_absmax = np.maximum(X_c.max(axis=0), -X_c.min(axis=0))
-            scale = np.where(col_absmax > 0, col_absmax / 127.0, 1.0).astype(X_c.dtype)
-            inv_scale = (1.0 / scale).astype(X_c.dtype)
-            q_d = staged_device_put(
-                X_c,
-                cast_dtype=np.dtype(np.int8),
-                cast_fn=lambda chunk: np.clip(
-                    np.rint(chunk * inv_scale), -127, 127
-                ).astype(np.int8),
-            )
+            scale, cast_fn = symmetric_int8_grid(X_c)
+            q_d = staged_device_put(X_c, cast_dtype=np.dtype(np.int8), cast_fn=cast_fn)
             return q_d.astype(self._compute_dtype()) * jnp.asarray(scale)[None, :]
         return staged_device_put(X_c)
 

@@ -35,6 +35,32 @@ _MAX_STAGED_BYTES = 1 * 1024**3
 _MAX_CHUNKS = 16
 
 
+def symmetric_int8_grid(rows: np.ndarray) -> tuple[np.ndarray, "object"]:
+    """Per-column symmetric int8 quantisation grid: ``x ≈ q·scale``, q ∈ [-127, 127].
+
+    Returns ``(scale, cast_fn)`` where ``cast_fn`` quantises a row chunk to int8.
+    ``cast_fn`` is row-independent, so it composes with :func:`staged_device_put`'s
+    sub-chunking, and the grid rows may differ from the cast target (the fit path
+    computes the grid from positive-weight rows only). Columns whose magnitude is
+    zero — or so small that ``absmax/127`` underflows to a subnormal whose
+    reciprocal overflows (0·inf → NaN, and NaN→int8 is undefined) — fall back to
+    ``scale = 1``: their values quantise to 0, which is what they round to anyway.
+
+    This is the single definition of the wire grid; fit-time upload and host-path
+    serving must quantise identically (``models/estimator.py``).
+    """
+    dtype = rows.dtype
+    col_absmax = np.maximum(rows.max(axis=0), -rows.min(axis=0))
+    scale = (col_absmax / 127.0).astype(dtype)
+    scale = np.where(scale >= np.finfo(dtype).tiny, scale, dtype.type(1.0))
+    inv_scale = (1.0 / scale).astype(dtype)
+
+    def cast_fn(chunk: np.ndarray) -> np.ndarray:
+        return np.clip(np.rint(chunk * inv_scale), -127, 127).astype(np.int8)
+
+    return scale, cast_fn
+
+
 def will_stage(X: np.ndarray, cast_dtype: "np.dtype | None" = None) -> bool:
     """True when :func:`staged_device_put` would actually chunk this upload.
 

@@ -92,3 +92,22 @@ def test_will_stage_matches_staging_decision(monkeypatch) -> None:
     import ml_dtypes
 
     assert not transfer.will_stage(edge, cast_dtype=ml_dtypes.bfloat16)
+
+
+def test_symmetric_int8_grid_subnormal_column_never_nan() -> None:
+    """A column whose magnitude underflows the grid (absmax/127 subnormal) must fall
+    back to scale 1 — not produce inf inv_scale and NaN→int8 undefined casts."""
+    from neo_ls_svm_tpu.utils.transfer import symmetric_int8_grid
+
+    X = np.zeros((8, 3), dtype=np.float32)
+    X[:, 0] = np.linspace(-2.0, 2.0, 8)
+    X[:4, 1] = 1e-44  # subnormal magnitude: absmax/127 underflows to 0
+    # column 2 stays exactly zero
+    scale, cast_fn = symmetric_int8_grid(X)
+    assert np.all(np.isfinite(scale)) and np.all(scale > 0)
+    q = cast_fn(X)
+    assert q.dtype == np.int8
+    deq = q.astype(np.float32) * scale[None, :]
+    assert np.all(np.isfinite(deq))
+    np.testing.assert_allclose(deq[:, 0], X[:, 0], atol=float(scale[0]) / 2 + 1e-7)
+    assert np.all(q[:, 1:] == 0)  # tiny/zero columns quantise to 0, not NaN
