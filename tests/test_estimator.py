@@ -413,3 +413,16 @@ def test_materialize_survives_transient_transfer_failure(monkeypatch) -> None:
         _ = model.loo_score_
     # The handles were not discarded: the retry succeeds and serves the fit.
     assert model.loo_score_ == pytest.approx(NeoLSSVM().fit(X, y).loo_score_)
+
+
+def test_classifier_predict_quantiles_matches_reference() -> None:
+    """Classifier conformal quantiles (the per-quantile isotonic calibration and the
+    (n, Q, 2) class stacking, ref _neo_ls_svm.py:596-624) must match the reference
+    elementwise through the fused host chunk path."""
+    (X, y), (X_test, _) = _datasets("classification", 2000)
+    ours = NeoLSSVM().fit(X, y)
+    theirs = RefNeoLSSVM().fit(X, y)
+    q_ours = np.asarray(ours.predict_quantiles(X_test, quantiles=(0.1, 0.5, 0.9)))
+    q_ref = np.asarray(theirs.predict_quantiles(X_test, quantiles=(0.1, 0.5, 0.9)))
+    assert q_ours.shape == q_ref.shape == (len(X_test), 3, 2)
+    assert np.max(np.abs(q_ours - q_ref)) <= 1e-6
