@@ -12,6 +12,16 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))  # run from a checkout
 
+import jax  # noqa: E402
+
+# Some environments pre-register an accelerator platform before env vars apply;
+# honor an explicit CPU request by switching the backend in-process.
+if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+
 from neo_ls_svm_tpu import NeoLSSVM  # noqa: E402
 
 
