@@ -333,3 +333,19 @@ def test_conformal_host_path_fused_chunk_matches_components() -> None:
         rtol=1e-6,
         atol=1e-10,
     )
+
+
+def test_transfer_model_pandas_passthrough() -> None:
+    """The narrowed host upload must compose with the pandas I/O contract."""
+    pd = pytest.importorskip("pandas")
+    X, y = make_regression_dataset(n=2000, seed=52)
+    model = NeoLSSVM(pre_transform="device", transfer="bfloat16").fit(X, y)
+    X_df = pd.DataFrame(X[:100], columns=[f"f{i}" for i in range(X.shape[1])])
+    yhat_df = model.predict(X_df)
+    assert isinstance(yhat_df, pd.Series) and (yhat_df.index == X_df.index).all()
+    np.testing.assert_array_equal(np.asarray(yhat_df), model.predict(X[:100]))
+    q_df = model.predict_quantiles(X_df, quantiles=(0.1, 0.9))
+    assert isinstance(q_df, pd.DataFrame) and q_df.shape == (100, 2)
+    np.testing.assert_array_equal(
+        np.asarray(q_df), np.asarray(model.predict_quantiles(X[:100], quantiles=(0.1, 0.9)))
+    )
