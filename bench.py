@@ -1,6 +1,13 @@
 """Benchmark: fit wall-clock on synthetic RBF regression, TPU vs NumPy reference path.
 
-Prints ONE JSON line: {"metric": ..., "value": seconds, "unit": "s", "vs_baseline": speedup}.
+Artifact contract (the driver captures the tail of stdout):
+- stdout carries EXACTLY ONE compact JSON line — the headline — containing the
+  primary 262k metric, ``vs_baseline``, per-trial statistics, the Pallas value
+  check, a tunnel-weather probe, and a one-entry summary of the best 1M lane.
+  It is size-bounded (well under 2000 chars) so tail-truncation can never eat it.
+- The full lane matrix (every alternate fit mode, serving lanes, device phase
+  breakdown — each with ``{trials, best_s, median_s, all_s}``) is written to
+  ``benchmark/bench_extra.json`` and echoed to stderr.
 
 Protocol (BASELINE.md north star): synthetic RBF regression, default n=262144 rows,
 d=32 features, float32 (the reference keeps float32 inputs in float32). Both sides run
@@ -15,10 +22,27 @@ Usage: python bench.py [--smoke] [--n N] [--skip-baseline]
 
 import argparse
 import json
+import os
+import statistics
 import sys
 import time
 
 import numpy as np
+
+REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+EXTRA_PATH = os.path.join(REPO_DIR, "benchmark", "bench_extra.json")
+
+
+def trial_stats(times: list[float]) -> dict:
+    """The shared per-lane trial record: every timed lane carries its trial count,
+    best, median, and the raw samples so cross-lane/cross-round comparisons can be
+    made on evidence instead of single draws (tunnel weather swings minute-to-minute)."""
+    return {
+        "trials": len(times),
+        "best_s": round(min(times), 4),
+        "median_s": round(statistics.median(times), 4),
+        "all_s": [round(t, 4) for t in times],
+    }
 
 
 def make_dataset(n: int, d: int, seed: int = 0, dtype=np.float32):
@@ -31,6 +55,33 @@ def make_dataset(n: int, d: int, seed: int = 0, dtype=np.float32):
         + 0.1 * gen.randn(n)
     ).astype(dtype)
     return X, y
+
+
+def tunnel_probe(mb: int = 32, trials: int = 3) -> dict:
+    """Quantify tunnel weather inside the artifact: a fixed-size host→device upload
+    and an 8-byte scalar pull, each timed best/median-of-N. Healthy tunnel ≈ 0.1 s
+    for 32 MB and ≈ 0.1 s for the pull; a stalled minute reads 10-100× worse. Lane
+    numbers in this artifact should be interpreted against this probe."""
+    import jax
+    import jax.numpy as jnp
+
+    payload = np.random.RandomState(0).randn(mb * 1024 * 1024 // 4).astype(np.float32)
+    upload_times, pull_times = [], []
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        x = jax.device_put(payload)
+        jax.device_get(jnp.sum(x[:8]))  # completion barrier on the transfer
+        upload_times.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        jax.device_get(jnp.sum(x[:8]))
+        pull_times.append(time.perf_counter() - t0)
+        del x
+    return {
+        "mb": mb,
+        "upload": trial_stats(upload_times),
+        "scalar_pull": trial_stats(pull_times),
+        "platform": jax.devices()[0].platform,
+    }
 
 
 def numpy_reference_fit(phi: np.ndarray, y: np.ndarray, gammas: np.ndarray) -> dict:
@@ -77,7 +128,7 @@ def run_baseline(X, y, fmap, gammas) -> float:
     return time.perf_counter() - t0
 
 
-def timed_best_fit(X, y, trials: int = 2, **params) -> tuple[float, object, dict]:
+def timed_best_fit(X, y, trials: int = 2, **params) -> tuple[dict, object, dict]:
     """Best-of-``trials`` timed fits (after one compile warm-up) with phase breakdown.
 
     Phase instrumentation: host_prep = the supervised pre-transform + feature-map
@@ -85,8 +136,9 @@ def timed_best_fit(X, y, trials: int = 2, **params) -> tuple[float, object, dict
     ``pre_transform="device"``, whose pre-transform runs inside the device program);
     solve_tail = everything after (solver dispatch + device execution + the scalar
     completion barrier); materialize = the deferred device→host pull of the
-    observability API. Best-of-N because tunneled-TPU transfer latency swings by an
-    order of magnitude minute to minute.
+    observability API. Returns (trial_stats_dict, best_model, best_phases) —
+    best-of-N because tunneled-TPU transfer latency swings by an order of magnitude
+    minute to minute, but every sample is recorded.
     """
     import neo_ls_svm_tpu.ops.orff as orff_mod
     from neo_ls_svm_tpu import NeoLSSVM
@@ -105,7 +157,8 @@ def timed_best_fit(X, y, trials: int = 2, **params) -> tuple[float, object, dict
     orff_mod.OrthogonalRandomFourierFeatures.fit = timed_fm_fit
     try:
         NeoLSSVM(**params).fit(X, y)  # warm-up: XLA compiles once, production caches
-        elapsed = float("inf")
+        times: list[float] = []
+        best = float("inf")
         best_phase: dict[str, float] = {}
         model = None
         for _ in range(trials):
@@ -117,15 +170,16 @@ def timed_best_fit(X, y, trials: int = 2, **params) -> tuple[float, object, dict
             m.loo_residuals_  # noqa: B018 - forces the lazy device→host pull
             phase["materialize_s"] = time.perf_counter() - t1
             phase["solve_tail_s"] = dt - phase.get("host_prep_s", 0.0)
-            if dt < elapsed:
-                elapsed, best_phase, model = dt, dict(phase), m
+            times.append(dt)
+            if dt < best:
+                best, best_phase, model = dt, dict(phase), m
     finally:
         orff_mod.OrthogonalRandomFourierFeatures.fit = orig_fit
-    return elapsed, model, {k: round(v, 4) for k, v in best_phase.items()}
+    return trial_stats(times), model, {k: round(v, 4) for k, v in best_phase.items()}
 
 
-def run_ours(X, y) -> tuple[float, object, dict]:
-    elapsed, model, best_phase = timed_best_fit(X, y, trials=3)
+def run_ours(X, y, trials: int = 3) -> tuple[dict, object, dict]:
+    stats, model, best_phase = timed_best_fit(X, y, trials=trials)
     # Serving-path throughput: full predict (validate → upload → fused
     # feature-map+gemv on device → pull) over the training-sized matrix.
     model.predict(X)  # compile the full-shape predict program off the clock
@@ -136,14 +190,14 @@ def run_ours(X, y) -> tuple[float, object, dict]:
         predict_s = min(predict_s, time.perf_counter() - t0)
     best_phase["predict_s"] = round(predict_s, 4)
     best_phase["predict_rows_per_s"] = round(X.shape[0] / predict_s, 1)
-    return elapsed, model, best_phase
+    return stats, model, best_phase
 
 
 def timed_best_device(fn, *, trials: int = 2):
     """The bench's standard device-timing protocol: warm once (compile), then
     best-of-``trials`` with a scalar-pull completion barrier on the first output
     leaf (``block_until_ready`` is unreliable through the tunnel; best-of-N because
-    tunnel latency swings minute to minute). Returns (best_seconds, last_output)."""
+    tunnel latency swings minute to minute). Returns (trial_stats, last_output)."""
     import jax
     import jax.numpy as jnp
 
@@ -152,16 +206,16 @@ def timed_best_device(fn, *, trials: int = 2):
 
     out = fn()
     barrier(out)
-    best = float("inf")
+    times = []
     for _ in range(trials):
         t0 = time.perf_counter()
         out = fn()
         barrier(out)
-        best = min(best, time.perf_counter() - t0)
-    return best, out
+        times.append(time.perf_counter() - t0)
+    return trial_stats(times), out
 
 
-def measure_device_predict(model, X) -> float:
+def measure_device_predict(model, X) -> dict:
     """Device-resident serving throughput: jax.Array in → jax.Array out.
 
     The upload is excluded (scalar-pull barrier first); the timed quantity is
@@ -173,8 +227,8 @@ def measure_device_predict(model, X) -> float:
 
     X_d = jax.device_put(X)
     jax.device_get(jnp.sum(X_d))  # barrier on the upload
-    best, _ = timed_best_device(lambda: model.predict(X_d))
-    return best
+    stats, _ = timed_best_device(lambda: model.predict(X_d))
+    return stats
 
 
 def measure_device_quantile_serving(model, X) -> dict:
@@ -188,11 +242,11 @@ def measure_device_quantile_serving(model, X) -> dict:
 
     X_d = jax.device_put(X)
     jax.device_get(jnp.sum(X_d))
-    best_q, _ = timed_best_device(
+    stats_q, _ = timed_best_device(
         lambda: model.predict_quantiles(X_d, quantiles=(0.025, 0.5, 0.975))
     )
-    best_i, _ = timed_best_device(lambda: model.predict_interval(X_d, coverage=0.95))
-    return {"quantiles_s": round(best_q, 4), "interval_s": round(best_i, 4)}
+    stats_i, _ = timed_best_device(lambda: model.predict_interval(X_d, coverage=0.95))
+    return {"quantiles": stats_q, "interval": stats_i}
 
 
 def pallas_value_check(n: int = 32768, d: int = 32) -> str:
@@ -286,28 +340,57 @@ def device_phase_breakdown(X, y, model) -> dict:
     jax.device_get(jnp.sum(X_d[0]))  # barrier on the staging transfer
     sign = jnp.concatenate([jnp.ones((M,), dtype), -jnp.ones((M,), dtype)])
 
-    gram_s, G_aug = timed_best_device(
+    gram_stats, G_aug = timed_best_device(
         lambda: fused_augmented_gram(X_d, M_d, b_d, s2_d, y_d, block_rows=256)
     )
     G, b_vec = w_basis_from_augmented(G_aug, D)
     B = embed_from_gram_blocks(G, M)
     inv_c0 = jnp.asarray(float(n * M), dtype)
-    eigh_s, (lam, Qs, inv_c0_out) = timed_best_device(
+    eigh_stats, (lam, Qs, inv_c0_out) = timed_best_device(
         lambda: _eigendecompose(B, None, inv_c0, sign)
     )
     k = jnp.dot(Qs.T, b_vec)
     r_all = 1.0 / (jnp.asarray(g)[None, :] + lam[:, None])
-    sweep_s, _ = timed_best_device(
+    sweep_stats, _ = timed_best_device(
         lambda: fused_loo_sweep(
             X_d, M_d, b_d, y_d, s_d, s2_d, Qs, r_all, k,
             block_rows=128, is_classifier=False, inv_c0_static=float(n * M),
         )
     )
-    return {
-        "gram_s": round(gram_s, 4),
-        "eigh_s": round(eigh_s, 4),
-        "sweep_s": round(sweep_s, 4),
-    }
+    return {"gram": gram_stats, "eigh": eigh_stats, "sweep": sweep_stats}
+
+
+FIT_LANES: tuple[tuple[str, dict], ...] = (
+    ("fast_precision", {"precision": "fast"}),
+    ("host_pretransform", {"pre_transform": "host"}),
+    ("device_pretransform", {"pre_transform": "device", "transfer": "float32"}),
+    ("device_pretransform_bf16", {"pre_transform": "device", "transfer": "bfloat16"}),
+    ("device_pretransform_int8", {"pre_transform": "device", "transfer": "int8"}),
+)
+
+
+def run_fit_lane(X, y, lane: str, params: dict, trials: int = 2) -> dict:
+    """One alternate-configuration fit lane with full trial statistics recorded."""
+    n = X.shape[0]
+    try:
+        stats, lane_model, lane_phases = timed_best_fit(X, y, trials=trials, **params)
+        record = {
+            "metric": f"fit_{lane}_n{n}",
+            "value": stats["best_s"],
+            "unit": "s",
+            **stats,
+            "loo_score": round(float(lane_model.loo_score_), 4),
+            "phases": lane_phases,
+        }
+        print(
+            f"[bench] {lane} fit: best {stats['best_s']:.3f}s median {stats['median_s']:.3f}s "
+            f"(loo R2 {lane_model.loo_score_:.4f}) phases={lane_phases}",
+            file=sys.stderr,
+        )
+        return record
+    except Exception as exc:  # pragma: no cover - lane resilience
+        print(f"[bench] {lane} fit FAILED: {exc}", file=sys.stderr)
+        return {"metric": f"fit_{lane}_n{n}", "error": str(exc)}
 
 
 def main() -> None:
@@ -324,7 +407,11 @@ def main() -> None:
     X, y = make_dataset(n, args.d)
     print(f"[bench] dataset n={n} d={args.d} dtype={X.dtype}", file=sys.stderr)
 
-    ours_s, model, phases = run_ours(X, y)
+    probe = tunnel_probe(mb=4 if args.smoke else 32)
+    print(f"[bench] tunnel probe: {probe}", file=sys.stderr)
+
+    ours_stats, model, phases = run_ours(X, y, trials=2 if args.smoke else 3)
+    ours_s = ours_stats["best_s"]
     # Device-phase throughput estimate: dominant fit flops (augmented Gram, eigenbasis
     # projection, the two G-wide resolvent contractions, pass-3 stats, eigh) over the
     # post-host-prep wall (includes dispatch + the completion round-trip, so this is a
@@ -340,25 +427,30 @@ def main() -> None:
     solve_tail = max(phases.get("solve_tail_s", ours_s), 1e-9)
     device_tflops = fit_flops / solve_tail / 1e12
     print(
-        f"[bench] ours fit: {ours_s:.3f}s (loo R2 {model.loo_score_:.4f}) phases={phases} "
+        f"[bench] ours fit: best {ours_s:.3f}s median {ours_stats['median_s']:.3f}s "
+        f"(loo R2 {model.loo_score_:.4f}) phases={phases} "
         f"device-phase ≈ {device_tflops:.1f} TFLOP/s effective",
         file=sys.stderr,
     )
     check = pallas_value_check()
     print(f"[bench] pallas value check: {check}", file=sys.stderr)
 
-    # Extra recorded lanes (VERDICT r2 #2/#8): device-resident serving, the fast-
-    # precision and device-pre-transform fit modes, and — on the default protocol —
-    # the 1M-row north star. Lane failures are recorded, not fatal.
+    # Extra recorded lanes (VERDICT r2 #2/#8, r3 #1/#8): device-resident serving, the
+    # alternate fit modes (every lane through the shared trial-stats protocol), and —
+    # on the default protocol — the 1M-row north star. Lane failures are recorded,
+    # not fatal.
     extra_metrics: list[dict] = []
+    one_m_summary: dict | None = None
     if not args.smoke:
         try:
-            dev_predict_s = measure_device_predict(model, X)
+            dev_stats = measure_device_predict(model, X)
+            dev_predict_s = dev_stats["best_s"]
             extra_metrics.append(
                 {
                     "metric": f"predict_device_resident_n{n}",
-                    "value": round(dev_predict_s, 4),
+                    "value": dev_predict_s,
                     "unit": "s",
+                    **dev_stats,
                     "rows_per_s": round(n / dev_predict_s, 1),
                 }
             )
@@ -405,8 +497,10 @@ def main() -> None:
             extra_metrics.append(
                 {
                     "metric": f"quantile_serving_device_resident_n{n}",
+                    "value": q_serving["quantiles"]["best_s"],
+                    "unit": "s",
                     **q_serving,
-                    "rows_per_s": round(n / q_serving["quantiles_s"], 1),
+                    "rows_per_s": round(n / q_serving["quantiles"]["best_s"], 1),
                 }
             )
             print(f"[bench] device-resident quantile serving: {q_serving}", file=sys.stderr)
@@ -416,36 +510,12 @@ def main() -> None:
             )
         try:
             breakdown = device_phase_breakdown(X, y, model)
-            extra_metrics.append(
-                {"metric": f"device_phase_breakdown_n{n}", **breakdown}
-            )
+            extra_metrics.append({"metric": f"device_phase_breakdown_n{n}", **breakdown})
             print(f"[bench] device phases: {breakdown}", file=sys.stderr)
         except Exception as exc:  # pragma: no cover - lane resilience
             extra_metrics.append({"metric": f"device_phase_breakdown_n{n}", "error": str(exc)})
-        for lane, params in (
-            ("fast_precision", {"precision": "fast"}),
-            ("device_pretransform", {"pre_transform": "device"}),
-            ("device_pretransform_bf16", {"pre_transform": "device", "transfer": "bfloat16"}),
-            ("device_pretransform_int8", {"pre_transform": "device", "transfer": "int8"}),
-        ):
-            try:
-                lane_s, lane_model, lane_phases = timed_best_fit(X, y, trials=2, **params)
-                extra_metrics.append(
-                    {
-                        "metric": f"fit_{lane}_n{n}",
-                        "value": round(lane_s, 4),
-                        "unit": "s",
-                        "loo_score": round(float(lane_model.loo_score_), 4),
-                        "phases": lane_phases,
-                    }
-                )
-                print(
-                    f"[bench] {lane} fit: {lane_s:.3f}s "
-                    f"(loo R2 {lane_model.loo_score_:.4f}) phases={lane_phases}",
-                    file=sys.stderr,
-                )
-            except Exception as exc:  # pragma: no cover - lane resilience
-                extra_metrics.append({"metric": f"fit_{lane}_n{n}", "error": str(exc)})
+        for lane, params in FIT_LANES:
+            extra_metrics.append(run_fit_lane(X, y, lane, params))
     if not args.smoke and not args.full and args.n is None and args.d == 32:
         # The 1M-row north star rides in the default driver run. Its NumPy baseline
         # costs ~15 minutes per execution, so the recorded round-1 measurement on
@@ -453,44 +523,27 @@ def main() -> None:
         # flagged via "baseline_recorded".
         recorded_1m_baseline_s = 852.0
         X1, y1 = make_dataset(1 << 20, 32)
+        probe_1m = tunnel_probe()
+        extra_metrics.append({"metric": "tunnel_probe_before_1m", **probe_1m})
+        print(f"[bench] tunnel probe before 1M lanes: {probe_1m}", file=sys.stderr)
         for lane, params in (
-            ("", {}),
-            ("_device_pretransform", {"pre_transform": "device"}),
-            (
-                "_device_pretransform_bf16",
-                {"pre_transform": "device", "transfer": "bfloat16"},
-            ),
-            (
-                "_device_pretransform_int8",
-                {"pre_transform": "device", "transfer": "int8"},
-            ),
+            ("auto", {}),  # the default config: auto pre-transform/transfer routing
+            ("host_pretransform", {"pre_transform": "host"}),
+            ("device_pretransform", {"pre_transform": "device", "transfer": "float32"}),
+            ("device_pretransform_bf16", {"pre_transform": "device", "transfer": "bfloat16"}),
+            ("device_pretransform_int8", {"pre_transform": "device", "transfer": "int8"}),
         ):
-            try:
-                full_s, full_model, full_phases = timed_best_fit(X1, y1, trials=2, **params)
-                extra_metrics.append(
-                    {
-                        "metric": f"fit_wallclock_synthetic_rbf_n1048576_d32_f32{lane}",
-                        "value": round(full_s, 4),
-                        "unit": "s",
-                        "vs_baseline": round(recorded_1m_baseline_s / full_s, 1),
-                        "baseline_recorded": True,
-                        "loo_score": round(float(full_model.loo_score_), 4),
-                        "phases": full_phases,
+            record = run_fit_lane(X1, y1, f"wallclock_synthetic_rbf_1m_{lane}", params)
+            if "value" in record:
+                record["vs_baseline"] = round(recorded_1m_baseline_s / record["value"], 1)
+                record["baseline_recorded"] = True
+                if one_m_summary is None or record["value"] < one_m_summary["value"]:
+                    one_m_summary = {
+                        "lane": lane,
+                        "value": record["value"],
+                        "vs_baseline": record["vs_baseline"],
                     }
-                )
-                print(
-                    f"[bench] 1M{lane or ' (host pre-transform)'} fit: {full_s:.3f}s "
-                    f"(recorded baseline {recorded_1m_baseline_s:.0f}s → "
-                    f"{recorded_1m_baseline_s / full_s:.0f}x) phases={full_phases}",
-                    file=sys.stderr,
-                )
-            except Exception as exc:  # pragma: no cover - lane resilience
-                extra_metrics.append(
-                    {
-                        "metric": f"fit_wallclock_synthetic_rbf_n1048576_d32_f32{lane}",
-                        "error": str(exc),
-                    }
-                )
+            extra_metrics.append(record)
         del X1, y1
 
     if args.skip_baseline:
@@ -504,20 +557,38 @@ def main() -> None:
         print(f"[bench] numpy reference fit: {baseline_s:.3f}s", file=sys.stderr)
 
     speedup = baseline_s / ours_s if np.isfinite(baseline_s) else None
-    print(
-        json.dumps(
-            {
-                "metric": f"fit_wallclock_synthetic_rbf_n{n}_d{args.d}_f32",
-                "value": round(ours_s, 4),
-                "unit": "s",
-                "vs_baseline": round(speedup, 2) if speedup else None,
-                "phases": phases,
-                "device_tflops_est": round(device_tflops, 2),
-                "pallas_value_check": check,
-                "extra_metrics": extra_metrics,
-            }
-        )
-    )
+    headline = {
+        "metric": f"fit_wallclock_synthetic_rbf_n{n}_d{args.d}_f32",
+        "value": round(ours_s, 4),
+        "unit": "s",
+        "vs_baseline": round(speedup, 2) if speedup else None,
+        "trials": ours_stats["trials"],
+        "median_s": ours_stats["median_s"],
+        "all_s": ours_stats["all_s"],
+        "loo_score": round(float(model.loo_score_), 4),
+        "phases": phases,
+        "device_tflops_est": round(device_tflops, 2),
+        "pallas_value_check": check,
+        "tunnel_probe": {
+            "mb": probe["mb"],
+            "upload_best_s": probe["upload"]["best_s"],
+            "upload_median_s": probe["upload"]["median_s"],
+            "pull_best_s": probe["scalar_pull"]["best_s"],
+            "pull_median_s": probe["scalar_pull"]["median_s"],
+        },
+        "best_1m_lane": one_m_summary,
+        "extras": os.path.relpath(EXTRA_PATH, REPO_DIR),
+    }
+    # Full lane matrix → side file + stderr; the size-bounded headline alone →
+    # stdout, as the LAST line, so driver tail-truncation can never eat it.
+    full_payload = {"headline": headline, "extra_metrics": extra_metrics}
+    os.makedirs(os.path.dirname(EXTRA_PATH), exist_ok=True)
+    with open(EXTRA_PATH, "w") as fh:
+        json.dump(full_payload, fh, indent=1)
+    print(f"[bench] extras: {json.dumps(extra_metrics)}", file=sys.stderr)
+    line = json.dumps(headline, separators=(",", ":"))
+    assert len(line) < 1900, f"headline line must fit the driver tail ({len(line)} chars)"
+    print(line)
 
 
 if __name__ == "__main__":

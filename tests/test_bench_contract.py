@@ -1,4 +1,10 @@
-"""The driver contract: bench.py prints exactly one valid JSON metric line."""
+"""The driver contract: bench.py prints exactly one compact JSON headline line.
+
+Round-3 lesson (VERDICT r3 #1): the driver captures only a bounded tail of stdout,
+and round 3's headline metric was truncated away. The contract is now: stdout =
+ONE size-bounded headline line (primary metric + trial stats + tunnel probe);
+the full lane matrix goes to benchmark/bench_extra.json.
+"""
 
 import json
 import os
@@ -21,7 +27,10 @@ def test_bench_smoke_json_line() -> None:
     assert result.returncode == 0, result.stderr[-2000:]
     lines = [l for l in result.stdout.strip().splitlines() if l.strip()]
     assert len(lines) == 1, f"expected exactly one stdout line, got: {lines}"
-    payload = json.loads(lines[0])
+    # The driver records the TAIL of stdout: the headline must be the last line and
+    # short enough that a 2000-char tail always contains it whole.
+    assert len(lines[-1]) < 1900, f"headline too long ({len(lines[-1])} chars)"
+    payload = json.loads(lines[-1])
     assert {"metric", "value", "unit", "vs_baseline"} <= set(payload)
     assert payload["unit"] == "s"
     assert payload["value"] > 0
@@ -29,13 +38,29 @@ def test_bench_smoke_json_line() -> None:
     assert payload["phases"]["host_prep_s"] > 0
     assert payload["phases"]["predict_s"] > 0  # serving-path metric
     assert payload["phases"]["predict_rows_per_s"] > 0
-    # Extra recorded lanes (device-resident serving + alternate fit modes) ride in
-    # "extra_metrics"; each succeeds (has a value) or records its error string.
-    lanes = {m["metric"]: m for m in payload["extra_metrics"]}
+    # Every timed lane carries trial statistics (VERDICT r3: single-trial lanes are
+    # weather-confounded evidence).
+    assert payload["trials"] >= 2
+    assert payload["median_s"] >= payload["value"]
+    assert len(payload["all_s"]) == payload["trials"]
+    # The tunnel-weather probe quantifies transfer conditions inside the artifact.
+    probe = payload["tunnel_probe"]
+    assert probe["upload_best_s"] > 0
+    assert probe["pull_best_s"] > 0
+    # The full lane matrix (alternate fit modes, serving lanes) rides in the side
+    # file the headline points at; each lane succeeds or records its error string.
+    extra_path = os.path.join(REPO, payload["extras"])
+    with open(extra_path) as fh:
+        full = json.load(fh)
+    assert full["headline"]["metric"] == payload["metric"]
+    lanes = {m["metric"]: m for m in full["extra_metrics"]}
     for name in (
         "predict_device_resident_n2048",
         "fit_fast_precision_n2048",
         "fit_device_pretransform_n2048",
+        "fit_host_pretransform_n2048",
     ):
         assert name in lanes, lanes.keys()
         assert lanes[name].get("value", 0) > 0, lanes[name]
+        assert lanes[name]["trials"] >= 2, lanes[name]
+        assert lanes[name]["median_s"] >= lanes[name]["value"], lanes[name]
