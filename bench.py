@@ -509,6 +509,30 @@ def main() -> None:
                 {"metric": f"quantile_serving_device_resident_n{n}", "error": str(exc)}
             )
         try:
+            # Conformal first-call latency: a fresh quantile tuple forces the two
+            # level-1 CQR LP fits, which now run concurrently (_fit_conformal_pair);
+            # warm minus first isolates the LP-fit share.
+            t0 = time.perf_counter()
+            model.predict_quantiles(X[:1024], quantiles=(0.05, 0.5, 0.95))
+            first_s = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            model.predict_quantiles(X[:1024], quantiles=(0.05, 0.5, 0.95))
+            warm_s = time.perf_counter() - t0
+            extra_metrics.append(
+                {
+                    "metric": f"conformal_first_call_n{n}",
+                    "first_s": round(first_s, 4),
+                    "warm_s": round(warm_s, 4),
+                    "lp_fit_share_s": round(max(first_s - warm_s, 0.0), 4),
+                }
+            )
+            print(
+                f"[bench] conformal first call: {first_s:.3f}s (warm {warm_s:.3f}s)",
+                file=sys.stderr,
+            )
+        except Exception as exc:  # pragma: no cover - lane resilience
+            extra_metrics.append({"metric": f"conformal_first_call_n{n}", "error": str(exc)})
+        try:
             breakdown = device_phase_breakdown(X, y, model)
             extra_metrics.append({"metric": f"device_phase_breakdown_n{n}", **breakdown})
             print(f"[bench] device phases: {breakdown}", file=sys.stderr)

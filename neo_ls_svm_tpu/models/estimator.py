@@ -42,7 +42,7 @@ from neo_ls_svm_tpu.models.primal import (
     primal_predict_var,
     trim_per_row,
 )
-from neo_ls_svm_tpu.ops.affine import AffineSeparator
+from neo_ls_svm_tpu.ops.affine import AffineSeparator, _is_tunneled_backend
 from neo_ls_svm_tpu.ops.orff import (
     KernelApproximatingFeatureMap,
     OrthogonalRandomFourierFeatures,
@@ -76,6 +76,61 @@ STREAMING_ROW_CHUNK = 32768
 PREDICT_CHUNK_ROWS = 1 << 20  # Chunk predictions beyond this many rows (bounds the
 # transient n×2M feature block on device).
 LAZY_MATERIALIZE_MIN_ROWS = 65_536  # Below this, fit pulls the host copy eagerly.
+
+# Auto-routing thresholds (VERDICT r3 #3: the default config should not leave the
+# fast lanes opt-in). Crossovers measured on this repo's tunneled v5e chip
+# (CLAUDE.md round-3 numbers): at 262k×32 f32 (32 MiB payload) the host and device
+# pre-transforms tie (~1 s, both tunnel-floored) and the narrow wire wins on a quiet
+# minute; at 1M×32 (128 MiB) the host prep costs 3-4 s that the device pre-transform
+# removes, and int8 beats bf16 (2.26 s vs 2.4-2.5 s) because the wire share dominates
+# the extra host quantisation pass. Auto therefore routes on the raw f32 payload
+# size (n·d·itemsize), not the row count, and only narrows the wire when the upload
+# actually rides the high-latency tunnel — on locally-attached backends the wire is
+# cheap and lossless f32 is strictly better.
+AUTO_DEVICE_PT_MIN_BYTES = 32 * 1024**2
+AUTO_INT8_MIN_BYTES = 100 * 1024**2
+
+
+def _resolve_fit_plan(
+    pre_transform: str,
+    transfer: str,
+    *,
+    payload_bytes: int,
+    device_pt_eligible: bool,
+    tunneled: bool,
+) -> tuple[str, str]:
+    """Resolve ``pre_transform="auto"`` / ``transfer="auto"`` to concrete modes.
+
+    Pure routing policy (unit-tested in ``tests/test_estimator.py``):
+
+    - ``pre_transform="auto"`` → ``"device"`` when the fit is eligible for the
+      on-device pre-transform (single-chip primal, random-Fourier map with the
+      identity complexity matrix) and the feature payload is large enough that the
+      host prep dominates (≥ :data:`AUTO_DEVICE_PT_MIN_BYTES`); else the bit-parity
+      ``"host"`` path.
+    - ``transfer="auto"`` → a narrow wire only for device-pre-transform fits whose
+      upload rides the tunneled backend: ``"int8"`` above
+      :data:`AUTO_INT8_MIN_BYTES` (wire share dominates), ``"bfloat16"`` below it
+      (the int8 host quantisation pass costs more than the saved bytes); lossless
+      ``"float32"`` everywhere else.
+
+    Explicit values pass through untouched — ``pre_transform="host"`` remains the
+    documented bit-parity escape hatch.
+    """
+    resolved_pt = pre_transform
+    if pre_transform == "auto":
+        resolved_pt = (
+            "device"
+            if device_pt_eligible and payload_bytes >= AUTO_DEVICE_PT_MIN_BYTES
+            else "host"
+        )
+    resolved_tr = transfer
+    if transfer == "auto":
+        if resolved_pt == "device" and device_pt_eligible and tunneled:
+            resolved_tr = "int8" if payload_bytes >= AUTO_INT8_MIN_BYTES else "bfloat16"
+        else:
+            resolved_tr = "float32"
+    return resolved_pt, resolved_tr
 
 # Fitted attributes materialised lazily from the device-resident fit result (one
 # batched device→host transfer on first access; see NeoLSSVM.__getattr__).
@@ -202,8 +257,8 @@ class NeoLSSVM(BaseEstimator):
         estimator_type: Literal["auto", "classifier", "regressor"] = "auto",
         random_state: int | np.random.RandomState | None = 42,
         precision: Literal["high", "fast"] = "high",
-        pre_transform: Literal["host", "device"] = "host",
-        transfer: Literal["float32", "bfloat16", "int8"] = "float32",
+        pre_transform: Literal["auto", "host", "device"] = "auto",
+        transfer: Literal["auto", "float32", "bfloat16", "int8"] = "auto",
         mesh: Any = None,
     ) -> None:
         self.primal_feature_map = primal_feature_map
@@ -240,6 +295,9 @@ class NeoLSSVM(BaseEstimator):
             "_M_map",
             "_b_map",
             "_inv_c0",
+            "pre_transform_",
+            "transfer_",
+            "mesh_",
         ):
             self.__dict__.pop(name, None)
 
@@ -264,16 +322,19 @@ class NeoLSSVM(BaseEstimator):
             msg = "The sample weights are all zero; at least one weight must be positive."
             raise ValueError(msg)
         self._clear_fit_state()
-        if self.pre_transform not in ("host", "device"):
-            msg = f"pre_transform must be 'host' or 'device', got {self.pre_transform!r}."
+        if self.pre_transform not in ("auto", "host", "device"):
+            msg = f"pre_transform must be 'auto', 'host' or 'device', got {self.pre_transform!r}."
             raise ValueError(msg)
-        if self.transfer not in ("float32", "bfloat16", "int8"):
-            msg = f"transfer must be 'float32', 'bfloat16' or 'int8', got {self.transfer!r}."
-            raise ValueError(msg)
-        if self.transfer != "float32" and self.pre_transform != "device":
+        if self.transfer not in ("auto", "float32", "bfloat16", "int8"):
             msg = (
-                f"transfer={self.transfer!r} requires pre_transform='device': the host "
-                "pre-transform path carries the bit-parity contract, which a lossy "
+                f"transfer must be 'auto', 'float32', 'bfloat16' or 'int8', "
+                f"got {self.transfer!r}."
+            )
+            raise ValueError(msg)
+        if self.transfer not in ("auto", "float32") and self.pre_transform == "host":
+            msg = (
+                f"transfer={self.transfer!r} requires the on-device pre-transform: the "
+                "host pre-transform path carries the bit-parity contract, which a lossy "
                 "feature upload would silently break."
             )
             raise ValueError(msg)
@@ -316,6 +377,18 @@ class NeoLSSVM(BaseEstimator):
             msg = "Target type not supported"
             raise ValueError(msg)
         is_classifier = self._estimator_type == "classifier"
+        # mesh="auto" builds the ("data", "feature") mesh over every visible device,
+        # so scale-out does not require hand-constructing jax.sharding.Mesh objects
+        # (VERDICT r3 #7). A concrete Mesh passes through; None keeps single-chip.
+        if self.mesh == "auto":
+            from neo_ls_svm_tpu.parallel.mesh import make_mesh  # noqa: PLC0415
+
+            self.mesh_: Any = make_mesh()
+        elif self.mesh is None or isinstance(self.mesh, jax.sharding.Mesh):
+            self.mesh_ = self.mesh
+        else:
+            msg = f"mesh must be None, 'auto', or a jax.sharding.Mesh, got {self.mesh!r}."
+            raise ValueError(msg)
         # Primal vs dual routing (ref :375).
         self.dual_ = X.shape[0] <= DUAL_THRESHOLD if self.dual == "auto" else self.dual
         self.primal_ = not self.dual_
@@ -332,7 +405,7 @@ class NeoLSSVM(BaseEstimator):
             working_set_bytes = 3 * n_rows * 2 * M_cols * np.dtype(X.dtype).itemsize
             route = (
                 "mesh"
-                if self.mesh is not None
+                if self.mesh_ is not None
                 else ("streaming" if working_set_bytes > STREAMING_BYTES_THRESHOLD else "inmemory")
             )
             row_pad = col_pad = 0
@@ -353,19 +426,35 @@ class NeoLSSVM(BaseEstimator):
             # map whose complexity matrix is the shipped identity (a subclass
             # overriding `complexity_matrix` needs the whitened-GEVD host solver);
             # the dual (n ≤ 1024) and mesh routes keep the host pre-transform.
-            use_device_pt = (
-                self.pre_transform == "device"
-                and route in ("streaming", "inmemory")
+            device_pt_eligible = (
+                route in ("streaming", "inmemory", "mesh")
                 and isinstance(self.primal_feature_map_, RandomFourierFeatures)
                 and type(self.primal_feature_map_).complexity_matrix
                 is RandomFourierFeatures.complexity_matrix
             )
-            if self.transfer != "float32" and not use_device_pt:
+            self.pre_transform_, self.transfer_ = _resolve_fit_plan(
+                self.pre_transform,
+                self.transfer,
+                payload_bytes=n_rows * X.shape[1] * np.dtype(X.dtype).itemsize,
+                device_pt_eligible=device_pt_eligible,
+                # The narrow-wire modes target the single-chip tunneled topology;
+                # mesh fits stage rows sharded at full precision.
+                tunneled=_is_tunneled_backend() and route != "mesh",
+            )
+            use_device_pt = self.pre_transform_ == "device" and device_pt_eligible
+            if self.transfer_ != "float32" and route == "mesh":
+                msg = (
+                    f"transfer={self.transfer!r} is not supported on the mesh route: "
+                    "sharded fits stage rows at full precision (the narrow-wire modes "
+                    "target the single-chip tunneled topology)."
+                )
+                raise ValueError(msg)
+            if self.transfer_ != "float32" and not use_device_pt:
                 msg = (
                     f"transfer={self.transfer!r} only applies when the fit takes the "
-                    "on-device pre-transform route (single-chip primal, random-Fourier "
-                    "feature map with the identity complexity matrix); this fit would "
-                    f"route through {route!r} with the host pre-transform, silently "
+                    "on-device pre-transform route (primal, random-Fourier feature map "
+                    "with the identity complexity matrix); this fit would route "
+                    f"through {route!r} with the host pre-transform, silently "
                     "ignoring the narrow upload you opted into."
                 )
                 raise ValueError(msg)
@@ -439,14 +528,14 @@ class NeoLSSVM(BaseEstimator):
                     sharded_primal_fit_streaming,
                 )
 
-                num_data = self.mesh.shape["data"]
+                num_data = self.mesh_.shape["data"]
                 stream_over_mesh = working_set_bytes / num_data > STREAMING_BYTES_THRESHOLD
                 extra_kwargs: dict[str, Any] = {}
                 if stream_over_mesh:
                     sharded_fit = sharded_primal_fit_streaming
                     # Each chip runs the same fused Mosaic kernels the single-chip
                     # streaming fit defaults to on TPU.
-                    mesh_platform = next(iter(self.mesh.devices.flat)).platform
+                    mesh_platform = next(iter(self.mesh_.devices.flat)).platform
                     use_pallas = mesh_platform == "tpu"
                     extra_kwargs = {
                         "use_pallas_gram": use_pallas and C_emb is None,
@@ -455,7 +544,7 @@ class NeoLSSVM(BaseEstimator):
                 else:
                     sharded_fit = sharded_primal_fit
                 result = sharded_fit(
-                    self.mesh,
+                    self.mesh_,
                     X,
                     M_map.astype(X.dtype),
                     b_map.astype(X.dtype),
@@ -542,13 +631,14 @@ class NeoLSSVM(BaseEstimator):
             M = M_map.shape[1] + 1
             self._inv_c0 = 1.0 if C_emb is not None else float(X.shape[0] * M)
         else:
-            if self.transfer != "float32":
+            if self.transfer not in ("auto", "float32"):
                 msg = (
                     f"transfer={self.transfer!r} only applies to the on-device "
                     f"pre-transform route; this fit (n={X.shape[0]} ≤ {DUAL_THRESHOLD}) "
                     "routes to the dual solver with the host pre-transform."
                 )
                 raise ValueError(msg)
+            self.pre_transform_, self.transfer_ = "host", "float32"
             nz = sample_weight_ > 0
             X, y_, sample_weight_ = X[nz], y_[nz], sample_weight_[nz]
             y = y[nz]
@@ -615,6 +705,8 @@ class NeoLSSVM(BaseEstimator):
 
         n_rows, d = X_shape
         dtype = X_p.dtype
+        if route == "mesh":
+            return self._fit_mesh_device_pt(X_p, y_, sample_weight_, is_classifier=is_classifier)
         y_p = np.concatenate([y_, np.zeros(row_pad, dtype)]) if row_pad else y_
         s_p = (
             np.concatenate([sample_weight_, np.zeros(row_pad, dtype)])
@@ -624,7 +716,7 @@ class NeoLSSVM(BaseEstimator):
         cast_dtype = None
         cast_fn = None
         quant_scale = None
-        if self.transfer == "bfloat16":
+        if self.transfer_ == "bfloat16":
             # Lossy-transfer mode: X crosses the wire at half width (the tunnel upload
             # is the measured wall of large device-pre-transform fits) and is widened
             # back on device. Targets/weights stay full precision (they are O(n), not
@@ -633,7 +725,7 @@ class NeoLSSVM(BaseEstimator):
             import ml_dtypes  # noqa: PLC0415 - ships with jax
 
             cast_dtype = ml_dtypes.bfloat16
-        elif self.transfer == "int8":
+        elif self.transfer_ == "int8":
             # Quarter-width wire mode: symmetric per-column affine quantisation,
             # x ≈ q·(max|x|/127) with q ∈ [-127, 127], dequantised on device right
             # after the upload. For column-scaled data the ~7-bit effective mantissa
@@ -689,6 +781,9 @@ class NeoLSSVM(BaseEstimator):
             edge_search_multiplier=int(getattr(affine, "edge_search_multiplier", 4)),
             rank_threshold=float(getattr(affine, "rank_threshold", 2e-2)),
             is_classifier=is_classifier,
+            # A plain RandomFourierFeatures map keeps its configured i.i.d. Gaussian
+            # draw; only the orthogonal variant gets the blockwise QR + χ rescale.
+            orthogonal=isinstance(fm, OrthogonalRandomFourierFeatures),
         )
         M_d, b_d = pt["M"], pt["b"]
         sweep_precision = jax.lax.Precision.DEFAULT if self.precision == "fast" else None
@@ -739,6 +834,76 @@ class NeoLSSVM(BaseEstimator):
             "b_map": b_d,
         }
         self._inv_c0 = float(n_rows * (int(fm.num_features) + 1))
+        return result
+
+    def _fit_mesh_device_pt(
+        self,
+        X: npt.NDArray,
+        y_: npt.NDArray,
+        sample_weight_: npt.NDArray,
+        *,
+        is_classifier: bool,
+    ) -> dict[str, Any]:
+        """Mesh fit with the on-device pre-transform (VERDICT r3 #3).
+
+        X/y/weights stage sharded ONCE; the jitted pre-transform runs as a GSPMD
+        program over the row shards and its operands feed the sharded solver
+        directly, so multi-chip fits no longer pay the host pre-transform wall
+        (round 3 forced mesh fits back to host statistics).
+        """
+        from neo_ls_svm_tpu.ops.pretransform_device import (  # noqa: PLC0415
+            DEVICE_PRETRANSFORM_BINS,
+        )
+        from neo_ls_svm_tpu.parallel.mesh import (  # noqa: PLC0415
+            sharded_primal_fit_device_pt,
+        )
+        from neo_ls_svm_tpu.utils.validation import check_random_state  # noqa: PLC0415
+
+        n_rows, d = X.shape
+        fm = self.primal_feature_map_
+        M_cols = int(fm.num_features) + 1
+        working_set_bytes = 3 * n_rows * 2 * M_cols * np.dtype(X.dtype).itemsize
+        num_data = self.mesh_.shape["data"]
+        stream_over_mesh = working_set_bytes / num_data > STREAMING_BYTES_THRESHOLD
+        mesh_platform = next(iter(self.mesh_.devices.flat)).platform
+        use_pallas = stream_over_mesh and mesh_platform == "tpu"
+        rs = self.random_state
+        seed = (
+            int(rs)
+            if isinstance(rs, (int, np.integer))
+            else int(check_random_state(rs).randint(0, 2**31 - 1))
+        )
+        affine = fm.affine_feature_map
+        result = sharded_primal_fit_device_pt(
+            self.mesh_,
+            X,
+            y_,
+            sample_weight_,
+            jax.random.PRNGKey(seed),
+            self.γs_,
+            is_classifier=is_classifier,
+            num_bins=2 if is_classifier else DEVICE_PRETRANSFORM_BINS,
+            num_features=int(fm.num_features),
+            edge_sample_size=int(getattr(affine, "edge_sample_size", 384)),
+            edge_search_multiplier=int(getattr(affine, "edge_search_multiplier", 4)),
+            rank_threshold=float(getattr(affine, "rank_threshold", 2e-2)),
+            orthogonal=isinstance(fm, OrthogonalRandomFourierFeatures),
+            stream=stream_over_mesh,
+            row_chunk=STREAMING_ROW_CHUNK,
+            sweep_precision=(
+                jax.lax.Precision.DEFAULT if self.precision == "fast" else None
+            ),
+            use_pallas_gram=use_pallas,
+            use_pallas_sweep=use_pallas,
+        )
+        self._device_cache = {
+            "beta_emb": result["beta_emb"],
+            "Qs": result["Qs"],
+            "lam": result["lam"],
+            "M_map": result["pt_M"],
+            "b_map": result["pt_b"],
+        }
+        self._inv_c0 = float(n_rows * M_cols)
         return result
 
     def _finish_fit(self, num_rows: int, result: dict[str, Any]) -> "NeoLSSVM":
@@ -957,15 +1122,20 @@ class NeoLSSVM(BaseEstimator):
         so no cross-chunk (or fit-time) grid consistency is needed. The default
         ``transfer="float32"`` path is byte-identical to a plain upload.
         """
-        if self.transfer == "bfloat16":
+        if self.transfer_ == "bfloat16":
             import ml_dtypes  # noqa: PLC0415 - ships with jax
 
             X_d = staged_device_put(X_c, cast_dtype=np.dtype(ml_dtypes.bfloat16))
             return X_d.astype(self._compute_dtype())
-        if self.transfer == "int8":
+        if self.transfer_ == "int8":
+            # The dequantisation grid rides the first chunk's put as one batched
+            # call (ADVICE r3: a separate jnp.asarray(scale) transfer per chunk
+            # pays ~100 ms of tunnel latency each, eroding the narrow-wire win).
             scale, cast_fn = symmetric_int8_grid(X_c)
-            q_d = staged_device_put(X_c, cast_dtype=np.dtype(np.int8), cast_fn=cast_fn)
-            return q_d.astype(self._compute_dtype()) * jnp.asarray(scale)[None, :]
+            q_d, (scale_d,) = staged_device_put(
+                X_c, cast_dtype=np.dtype(np.int8), cast_fn=cast_fn, extras=(scale,)
+            )
+            return q_d.astype(self._compute_dtype()) * scale_d[None, :]
         return staged_device_put(X_c)
 
     def _primal_decision_device(self, X_c: jax.Array) -> jax.Array:
@@ -982,6 +1152,23 @@ class NeoLSSVM(BaseEstimator):
         on device — two extra tiny matmuls, nothing against the wire cost)."""
         return jnp.stack(
             [self._primal_decision_device(X_c), self._primal_var_device(X_c)], axis=1
+        )
+
+    def _dual_decision_var_device(self, X_c: jax.Array) -> jax.Array:
+        """ŷ and σ² for one (dual-transformed) chunk, stacked (n, 2).
+
+        Dual counterpart of :meth:`_primal_decision_var_device`: the conformal host
+        path needs both, and fusing them into one chunk program means X crosses the
+        tunnel ONCE (the kernel block against the training set is recomputed for
+        each output — two tiny n×n_train matmuls at n_train ≤ 1024)."""
+        return jnp.stack(
+            [
+                dual_decision_function(
+                    X_c, self._device("X_train"), self._device("alpha")
+                ),
+                dual_predict_var(X_c, self._device("X_train"), self._device("chol")),
+            ],
+            axis=1,
         )
 
     def _primal_var_device(self, X_c: jax.Array) -> jax.Array:
@@ -1108,6 +1295,33 @@ class NeoLSSVM(BaseEstimator):
 
     # --------------------------------------------------------------- conformal stack
 
+    def _fit_conformal_pair(self, quantiles: npt.ArrayLike) -> None:
+        """Fit the "Δŷ" and "Δŷ/ŷ" level-1 regressors concurrently (VERDICT r3 #6).
+
+        The two level-1 CQR fits share the design matrix but solve independent HiGHS
+        LPs on the host; running them through a 2-thread pool overlaps the solver
+        time (HiGHS releases the GIL during the C++ solve), halving the conformal
+        first-call latency on multi-core hosts. Subsequent
+        :meth:`_lazily_fit_conformal_predictor` calls hit the cache.
+        """
+        key = tuple(np.asarray(quantiles))
+        missing = [t for t in ("Δŷ", "Δŷ/ŷ") if key not in self.conformal_l1_[t]]
+        if len(missing) < 2:
+            # 0 or 1 missing: nothing to overlap; the caller's sequential path fits it.
+            return
+        from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
+
+        # Materialise the shared calibration attributes BEFORE spawning: the lazy
+        # __getattr__ pull must not race between the two fit threads.
+        self.ŷ_calib_l1_  # noqa: B018
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            futures = [
+                pool.submit(self._lazily_fit_conformal_predictor, t, quantiles)
+                for t in missing
+            ]
+            for future in futures:
+                future.result()
+
     def _lazily_fit_conformal_predictor(
         self, target_type: str, quantiles: npt.ArrayLike
     ) -> tuple[CoherentLinearQuantileRegressor, npt.NDArray]:
@@ -1156,6 +1370,7 @@ class NeoLSSVM(BaseEstimator):
         key = ("conformal_dev", tuple(float(q) for q in quantiles), priority)
         cache = self.__dict__.setdefault("_device_cache", {})
         if key not in cache:
+            self._fit_conformal_pair(quantiles)
             cqr_abs, bias_abs = self._lazily_fit_conformal_predictor("Δŷ", quantiles)
             cqr_rel, bias_rel = self._lazily_fit_conformal_predictor("Δŷ/ŷ", quantiles)
             bias_abs, bias_rel = bias_abs.copy(), bias_rel.copy()
@@ -1235,10 +1450,20 @@ class NeoLSSVM(BaseEstimator):
             yhat = both[:, 0]
             X_cqr = np.sqrt(np.maximum(both[:, 1], 0.0))[:, np.newaxis]
         else:
-            yhat = self.decision_function(X)
-            X_cqr = np.asarray(self.predict_std(X))[:, np.newaxis]
+            # The dual route honors the same "X crosses the wire once" invariant as
+            # the primal fused path above: one chunk program returns ŷ and σ²
+            # stacked (VERDICT r3 #6 follow-up; previously two separate uploads).
+            X_t = self.dual_feature_map_.transform(X)
+            both = self._in_chunks(
+                X_t,
+                lambda X_c: self._dual_decision_var_device(jnp.asarray(X_c)),
+                device_out=False,
+            )
+            yhat = both[:, 0]
+            X_cqr = np.sqrt(np.maximum(both[:, 1], 0.0))[:, np.newaxis]
         if self._estimator_type == "regressor":
             X_cqr = np.hstack([X_cqr, np.abs(yhat[:, np.newaxis])])
+        self._fit_conformal_pair(quantiles)
         cqr_abs, bias_abs = self._lazily_fit_conformal_predictor("Δŷ", quantiles)
         cqr_rel, bias_rel = self._lazily_fit_conformal_predictor("Δŷ/ŷ", quantiles)
         quantiles = np.asarray(quantiles)

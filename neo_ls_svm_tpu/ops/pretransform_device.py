@@ -91,6 +91,7 @@ def _sq_dists(A: jax.Array, B: jax.Array) -> jax.Array:
         "edge_sample_size",
         "edge_search_multiplier",
         "is_classifier",
+        "orthogonal",
     ),
 )
 def device_pre_transform(
@@ -105,6 +106,7 @@ def device_pre_transform(
     edge_search_multiplier: int,
     rank_threshold: float,
     is_classifier: bool,
+    orthogonal: bool = True,
 ) -> dict[str, jax.Array]:
     """One device program: binning → normalizer stats → separator → ORFF fold.
 
@@ -144,6 +146,7 @@ def device_pre_transform(
     blocks = []
     edges_in = []
     edges_out = []
+    kept_rank = jnp.zeros((), dtype)
     for b_idx in range(num_bins):
         in_bin = (codes == b_idx).astype(dtype)
         in_comp = ((codes != b_idx) & (codes < num_bins)).astype(dtype)
@@ -168,6 +171,12 @@ def device_pre_transform(
         V = V[:, ::-1]
         keep = (s > rank_threshold * s[0]) & valid[b_idx]
         blocks.append(V * keep[None, :].astype(dtype))
+        # Effective post-rank-cut column count: the host/reference ORFF draws its χ
+        # degrees of freedom from A.shape[1] AFTER dropped directions are removed
+        # (ref _feature_maps.py:221-222 with A_ from _affine_separator.py:173-176);
+        # here dropped directions are zeroed (static shapes), so the χ df must count
+        # only the kept columns or feature norms inflate with every dropped direction.
+        kept_rank = kept_rank + jnp.sum(keep.astype(dtype))
     A_sep = jnp.concatenate(blocks, axis=1)  # (d, num_bins·d)
 
     # Global rescale λ = √(2·log(f/g)/(f−g)) from mean inter-/intra-bin edge distances
@@ -205,15 +214,22 @@ def device_pre_transform(
     ident = jnp.zeros((d, width), dtype).at[:, :d].set(jnp.eye(d, dtype=dtype))
     A_final = jnp.where(degenerate, ident, A_sep)
 
-    # ORFF: blockwise-orthogonalised Gaussian Z with χ-rescaled column norms
-    # (ref _feature_maps.py:206-223, following Yu et al. 2016).
+    # Random Fourier draw. ``orthogonal`` (OrthogonalRandomFourierFeatures, the
+    # default) applies blockwise QR orthogonalisation with χ-rescaled column norms
+    # (ref _feature_maps.py:206-223, following Yu et al. 2016); a plain
+    # RandomFourierFeatures map keeps the i.i.d. N(0,1) draw it was configured
+    # with (ref _feature_maps.py:120-127).
     D = num_features
     Z = jax.random.normal(keys[-2], (width, D), dtype)
-    for j in range(0, D, width):
-        block = Z[:, j : j + width]
-        Z = Z.at[:, j : j + width].set(jnp.linalg.qr(block)[0])
-    chi = jax.random.chisquare(keys[-1], width, shape=(1, D), dtype=dtype)
-    Z = Z * jnp.sqrt(chi)
+    if orthogonal:
+        for j in range(0, D, width):
+            block = Z[:, j : j + width]
+            Z = Z.at[:, j : j + width].set(jnp.linalg.qr(block)[0])
+        # χ df = the effective (post-rank-cut, non-degenerate-fallback) column
+        # count of A, matching the host draw's A.shape[1].
+        chi_df = jnp.maximum(jnp.where(degenerate, jnp.asarray(float(d), dtype), kept_rank), 1.0)
+        chi = jax.random.chisquare(keys[-1], chi_df, shape=(1, D), dtype=dtype)
+        Z = Z * jnp.sqrt(chi)
 
     folded = A_final @ Z  # (d, D)
     M = folded * inv_scale[:, None]

@@ -57,40 +57,58 @@ def _pad_rows(arr: np.ndarray, multiple: int) -> np.ndarray:
     return np.pad(arr, pad_width)
 
 
+def _stage_rows(mesh: Mesh, arr: Any, spec: P, mult: int) -> jax.Array:
+    """Pad rows to ``mult`` and shard over the mesh — or pass a pre-staged device
+    array through (the device-pre-transform route stages X/y/w ONCE, already
+    padded; re-sharding an identically-sharded array is a no-op)."""
+    if isinstance(arr, jax.Array):
+        if arr.shape[0] % mult:
+            msg = f"pre-staged array rows ({arr.shape[0]}) must be a multiple of {mult}."
+            raise ValueError(msg)
+        return jax.device_put(arr, NamedSharding(mesh, spec))
+    return jax.device_put(_pad_rows(np.asarray(arr), mult), NamedSharding(mesh, spec))
+
+
+def _stage_replicated(mesh: Mesh, arr: Any) -> jax.Array:
+    """Replicate an operand on every chip (device arrays reshard without a host hop)."""
+    if isinstance(arr, jax.Array):
+        return jax.device_put(arr, NamedSharding(mesh, P()))
+    return jax.device_put(np.asarray(arr), NamedSharding(mesh, P()))
+
+
 def sharded_primal_fit(
     mesh: Mesh,
-    X: np.ndarray,
-    M_map: np.ndarray,
-    b_map: np.ndarray,
-    y: np.ndarray,
-    sample_weight: np.ndarray,
+    X: "np.ndarray | jax.Array",
+    M_map: "np.ndarray | jax.Array",
+    b_map: "np.ndarray | jax.Array",
+    y: "np.ndarray | jax.Array",
+    sample_weight: "np.ndarray | jax.Array",
     gammas: np.ndarray,
     C_emb: np.ndarray | None = None,
     *,
     is_classifier: bool,
     gamma_chunk: int = 128,
     sweep_precision: "jax.lax.Precision | None" = None,
+    num_samples: int | None = None,
 ) -> dict[str, jax.Array]:
     """Run ``primal_fit`` with rows sharded over the mesh's ``data`` axis.
 
     Rows are zero-weight-padded to a multiple of the data-axis size (padding provably
     does not perturb the solution: padded rows carry s=0, and the c₀ normalisation uses
-    the true row count). Per-row outputs are returned unpadded.
+    the true row count). Per-row outputs are returned unpadded. Pre-staged device
+    arrays (already padded + sharded, e.g. by the device-pre-transform route) pass
+    through without a host hop; ``num_samples`` then carries the true row count.
     """
-    n = X.shape[0]
+    n = num_samples if num_samples is not None else X.shape[0]
     num_data = mesh.shape["data"]
-    X_p = _pad_rows(np.asarray(X), num_data)
-    y_p = _pad_rows(np.asarray(y), num_data)
-    s_p = _pad_rows(np.asarray(sample_weight), num_data)
-    row_sharding = NamedSharding(mesh, P("data"))
-    replicated = NamedSharding(mesh, P())
-    X_d = jax.device_put(X_p, NamedSharding(mesh, P("data", None)))
-    y_d = jax.device_put(y_p, row_sharding)
-    s_d = jax.device_put(s_p, row_sharding)
-    M_d = jax.device_put(np.asarray(M_map), replicated)
-    b_d = jax.device_put(np.asarray(b_map), replicated)
-    g_d = jax.device_put(np.asarray(gammas), replicated)
-    C_d = None if C_emb is None else jax.device_put(np.asarray(C_emb), replicated)
+    row_spec = P("data")
+    X_d = _stage_rows(mesh, X, P("data", None), num_data)
+    y_d = _stage_rows(mesh, y, row_spec, num_data)
+    s_d = _stage_rows(mesh, sample_weight, row_spec, num_data)
+    M_d = _stage_replicated(mesh, M_map)
+    b_d = _stage_replicated(mesh, b_map)
+    g_d = _stage_replicated(mesh, gammas)
+    C_d = None if C_emb is None else _stage_replicated(mesh, C_emb)
     result = primal_fit(
         X_d,
         M_d,
@@ -110,6 +128,97 @@ def sharded_primal_fit(
 def required_padding(n: int, num_data: int) -> int:
     """Rows of zero-weight padding needed to align ``n`` to the data axis."""
     return (math.ceil(n / num_data) * num_data) - n
+
+
+def streaming_row_chunk(n: int, num_data: int, row_chunk: int = 16384) -> int:
+    """The per-chip scan chunk the sharded streaming fit will actually use
+    (callers pre-staging rows must pad to ``num_data * streaming_row_chunk(...)``)."""
+    return min(row_chunk, math.ceil(n / num_data))
+
+
+def sharded_primal_fit_device_pt(
+    mesh: Mesh,
+    X: np.ndarray,
+    y: np.ndarray,
+    sample_weight: np.ndarray,
+    key: jax.Array,
+    gammas: np.ndarray,
+    *,
+    is_classifier: bool,
+    num_bins: int,
+    num_features: int,
+    edge_sample_size: int,
+    edge_search_multiplier: int,
+    rank_threshold: float,
+    orthogonal: bool,
+    stream: bool,
+    row_chunk: int = 16384,
+    sweep_precision: "jax.lax.Precision | None" = None,
+    use_pallas_gram: bool = False,
+    use_pallas_sweep: bool = False,
+    pallas_interpret: bool = False,
+) -> dict[str, jax.Array]:
+    """Mesh fit with the fully on-device pre-transform (VERDICT r3 #3).
+
+    Composes the two fast paths that round 3 kept mutually exclusive: X/y/weights
+    are staged sharded ONCE (rows over the ``data`` axis), the jitted
+    :func:`~neo_ls_svm_tpu.ops.pretransform_device.device_pre_transform` runs as a
+    GSPMD program over the sharded rows — its reductions (quantile cuts, bisection
+    medians, one-hot Gram masses, edge-difference Grams) are exactly the
+    matmul/reduction shapes XLA knows how to psum across chips, so no hand-written
+    collectives are needed — and the resulting feature-map operands feed the
+    sharded solver directly. Multi-chip fits therefore no longer pay the host
+    pre-transform wall (round 3 forced ``mesh`` fits back to host stats,
+    ``models/estimator.py`` r3 ``:404-405``).
+
+    Returns the solver result plus the fitted pre-transform state (``pt_*`` keys),
+    matching the single-chip device-pre-transform contract.
+    """
+    from neo_ls_svm_tpu.ops.pretransform_device import (  # noqa: PLC0415 - cycle-free lazy
+        device_pre_transform,
+    )
+
+    n = X.shape[0]
+    num_data = mesh.shape["data"]
+    mult = num_data * streaming_row_chunk(n, num_data, row_chunk) if stream else num_data
+    row_spec = P("data")
+    X_d = _stage_rows(mesh, X, P("data", None), mult)
+    y_d = _stage_rows(mesh, y, row_spec, mult)
+    s_d = _stage_rows(mesh, sample_weight, row_spec, mult)
+    pt = device_pre_transform(
+        X_d,
+        y_d,
+        s_d,
+        key,
+        num_bins=num_bins,
+        num_features=num_features,
+        edge_sample_size=edge_sample_size,
+        edge_search_multiplier=edge_search_multiplier,
+        rank_threshold=rank_threshold,
+        is_classifier=is_classifier,
+        orthogonal=orthogonal,
+    )
+    fit_kwargs: dict[str, Any] = {
+        "is_classifier": is_classifier,
+        "sweep_precision": sweep_precision,
+        "num_samples": n,
+    }
+    sharded_fit = sharded_primal_fit
+    if stream:
+        sharded_fit = sharded_primal_fit_streaming
+        fit_kwargs.update(
+            row_chunk=row_chunk,
+            use_pallas_gram=use_pallas_gram,
+            use_pallas_sweep=use_pallas_sweep,
+            pallas_interpret=pallas_interpret,
+        )
+    result = sharded_fit(mesh, X_d, pt["M"], pt["b"], y_d, s_d, gammas, None, **fit_kwargs)
+    return {
+        **result,
+        "pt_M": pt["M"],
+        "pt_b": pt["b"],
+        **{k: pt[k] for k in ("pt_shift", "pt_scale", "pt_A", "pt_Z", "pt_folded")},
+    }
 
 
 # Compiled sharded-streaming fits, keyed on everything the closure bakes in. Without
@@ -133,16 +242,17 @@ def _shard_map(fn: Any, mesh: Mesh, in_specs: Any, out_specs: Any) -> Any:
 
 def sharded_primal_fit_streaming(
     mesh: Mesh,
-    X: np.ndarray,
-    M_map: np.ndarray,
-    b_map: np.ndarray,
-    y: np.ndarray,
-    sample_weight: np.ndarray,
+    X: "np.ndarray | jax.Array",
+    M_map: "np.ndarray | jax.Array",
+    b_map: "np.ndarray | jax.Array",
+    y: "np.ndarray | jax.Array",
+    sample_weight: "np.ndarray | jax.Array",
     gammas: np.ndarray,
     C_emb: np.ndarray | None = None,
     *,
     is_classifier: bool,
     row_chunk: int = 16384,
+    num_samples: int | None = None,
     precision: "jax.lax.Precision" = jax.lax.Precision.HIGHEST,
     sweep_precision: "jax.lax.Precision | None" = None,
     use_pallas_gram: bool = False,
@@ -179,16 +289,15 @@ def sharded_primal_fit_streaming(
     if use_pallas_gram and C_emb is not None:
         msg = "use_pallas_gram requires the identity complexity matrix (C_emb=None)."
         raise ValueError(msg)
-    n = X.shape[0]
+    n = num_samples if num_samples is not None else X.shape[0]
     num_data = mesh.shape["data"]
     # Each chip's local rows must tile into row_chunk-sized scan steps.
-    row_chunk = min(row_chunk, math.ceil(n / num_data))
+    row_chunk = streaming_row_chunk(n, num_data, row_chunk)
     mult = num_data * row_chunk
-    pad = (math.ceil(n / mult) * mult) - n
-    X_p = _pad_rows(np.asarray(X), mult) if pad else np.asarray(X)
-    y_p = _pad_rows(np.asarray(y), mult) if pad else np.asarray(y)
-    s_p = _pad_rows(np.asarray(sample_weight), mult) if pad else np.asarray(sample_weight)
-    dtype = X_p.dtype
+    X_d = _stage_rows(mesh, X, P("data", None), mult)
+    y_d = _stage_rows(mesh, y, P("data"), mult)
+    s_d = _stage_rows(mesh, sample_weight, P("data"), mult)
+    dtype = jax.dtypes.canonicalize_dtype(X_d.dtype)
     D = M_map.shape[1]
     M = D + 1
     M2 = 2 * M
@@ -396,11 +505,11 @@ def sharded_primal_fit_streaming(
         fit_fn = jax.jit(_shard_map(body, mesh, in_specs, out_specs))
         _STREAMING_FIT_CACHE[cache_key] = fit_fn
     result = fit_fn(
-        jax.device_put(X_p, NamedSharding(mesh, P("data", None))),
-        jnp.asarray(np.asarray(M_map)),
-        jnp.asarray(np.asarray(b_map)),
-        jax.device_put(y_p, NamedSharding(mesh, row_spec)),
-        jax.device_put(s_p, NamedSharding(mesh, row_spec)),
-        jnp.asarray(np.asarray(gammas)),
+        X_d,
+        _stage_replicated(mesh, M_map),
+        _stage_replicated(mesh, b_map),
+        y_d,
+        s_d,
+        _stage_replicated(mesh, gammas),
     )
     return trim_per_row(result, n)

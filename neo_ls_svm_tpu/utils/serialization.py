@@ -123,7 +123,10 @@ def model_to_state_dict(model: Any) -> dict[str, Any]:
         "conformal": {"l1": {}, "l2": {}},
     }
     skip = {"conformal_l1_", "conformal_l2_", "primal_feature_map_", "dual_feature_map_",
-            "predict_proba_calibrator_", "y_dtype_"}
+            "predict_proba_calibrator_", "y_dtype_",
+            # A device Mesh is an ephemeral runtime resource, not model state;
+            # restored models re-resolve it from the (string/None) `mesh` param.
+            "mesh_"}
     private_state = ("_M_map", "_b_map", "_eig_Qs", "_eig_lam", "_inv_c0", "_chol")
     for name, value in vars(model).items():
         keep = (name.endswith("_") and not name.startswith("__")) or name in private_state

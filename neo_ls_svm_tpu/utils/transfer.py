@@ -46,8 +46,12 @@ def symmetric_int8_grid(rows: np.ndarray) -> tuple[np.ndarray, "object"]:
     reciprocal overflows (0·inf → NaN, and NaN→int8 is undefined) — fall back to
     ``scale = 1``: their values quantise to 0, which is what they round to anyway.
 
-    This is the single definition of the wire grid; fit-time upload and host-path
-    serving must quantise identically (``models/estimator.py``).
+    This is the single definition of the wire grid. The invariant callers rely on
+    is only that the grid is row-independent *within one upload* (so it composes
+    with :func:`staged_device_put`'s sub-chunking); cross-call consistency is NOT
+    required — each upload dequantises immediately on device, so fit-time and
+    serving-time uploads may legitimately use different grids
+    (``models/estimator.py`` builds a fresh grid per prediction chunk).
     """
     dtype = rows.dtype
     col_absmax = np.maximum(rows.max(axis=0), -rows.min(axis=0))
@@ -76,7 +80,8 @@ def staged_device_put(
     X: np.ndarray,
     cast_dtype: "np.dtype | None" = None,
     cast_fn=None,
-) -> jax.Array:
+    extras: tuple = (),
+) -> "jax.Array | tuple[jax.Array, tuple[jax.Array, ...]]":
     """Upload a 2-D host array, pipelining serialization/cast with the wire transfer.
 
     Splits ``X`` into row chunks sized ~:data:`_TARGET_CHUNK_BYTES` on the wire and
@@ -95,19 +100,36 @@ def staged_device_put(
     Arrays above :data:`_MAX_STAGED_BYTES` also take the monolithic path: the
     on-device stitch transiently doubles HBM (chunks + concatenated copy), which
     a near-HBM-sized streaming fit cannot afford.
+
+    ``extras`` are small companion arrays (e.g. an int8 dequantisation grid) that
+    must reach the device alongside ``X``: they ride the first chunk's
+    ``device_put`` as one batched call — every separate host→device call pays the
+    tunnel's ~100 ms latency. With ``extras`` the return value becomes
+    ``(X_device, extras_device)``.
     """
     if cast_fn is None and cast_dtype is not None:
         cast_fn = lambda chunk: chunk.astype(cast_dtype)  # noqa: E731
     if not will_stage(X, cast_dtype):
-        return jax.device_put(X if cast_fn is None else cast_fn(X))
+        host = X if cast_fn is None else cast_fn(X)
+        if extras:
+            X_d, *extras_d = jax.device_put((host, *extras))
+            return X_d, tuple(extras_d)
+        return jax.device_put(host)
     itemsize = np.dtype(cast_dtype).itemsize if cast_dtype is not None else X.itemsize
     wire_bytes = X.size * itemsize
     num_chunks = min(
         _MAX_CHUNKS, max(2, math.ceil(wire_bytes / _TARGET_CHUNK_BYTES)), X.shape[0]
     )
     parts = []
-    for chunk in np.array_split(X, num_chunks, axis=0):
+    extras_d: tuple[jax.Array, ...] = ()
+    for i, chunk in enumerate(np.array_split(X, num_chunks, axis=0)):
         if cast_fn is not None:
             chunk = cast_fn(chunk)
-        parts.append(jax.device_put(chunk))
-    return jnp.concatenate(parts, axis=0)
+        if i == 0 and extras:
+            first, *rest = jax.device_put((chunk, *extras))
+            extras_d = tuple(rest)
+            parts.append(first)
+        else:
+            parts.append(jax.device_put(chunk))
+    X_dev = jnp.concatenate(parts, axis=0)
+    return (X_dev, extras_d) if extras else X_dev

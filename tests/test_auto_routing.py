@@ -1,0 +1,162 @@
+"""Auto routing of pre_transform / transfer (VERDICT r3 #3).
+
+The default configuration must take the fast lanes by itself: large eligible fits
+route to the on-device pre-transform, and tunneled uploads narrow the wire
+(bfloat16 below the int8 crossover, int8 above). ``pre_transform="host"`` remains
+the explicit bit-parity escape hatch, and small fits stay on it by default.
+"""
+
+import numpy as np
+import pytest
+
+import neo_ls_svm_tpu.models.estimator as est_mod
+from neo_ls_svm_tpu import NeoLSSVM
+from neo_ls_svm_tpu.models.estimator import (
+    AUTO_DEVICE_PT_MIN_BYTES,
+    AUTO_INT8_MIN_BYTES,
+    _resolve_fit_plan,
+)
+
+
+def _make_reg(n: int = 3000, d: int = 6, seed: int = 0):
+    gen = np.random.RandomState(seed)
+    X = gen.randn(n, d).astype(np.float32)
+    y = (np.sin(X[:, 0]) + 0.5 * X[:, 1] + 0.1 * gen.randn(n)).astype(np.float32)
+    return X, y
+
+
+class TestResolveFitPlan:
+    def test_small_payload_stays_host(self) -> None:
+        pt, tr = _resolve_fit_plan(
+            "auto", "auto", payload_bytes=1 << 20, device_pt_eligible=True, tunneled=True
+        )
+        assert (pt, tr) == ("host", "float32")
+
+    def test_large_eligible_payload_routes_device(self) -> None:
+        pt, tr = _resolve_fit_plan(
+            "auto",
+            "auto",
+            payload_bytes=AUTO_DEVICE_PT_MIN_BYTES,
+            device_pt_eligible=True,
+            tunneled=False,
+        )
+        assert pt == "device"
+        assert tr == "float32"  # locally-attached wire is cheap: stay lossless
+
+    def test_tunneled_wire_narrows_bf16_then_int8(self) -> None:
+        pt, tr = _resolve_fit_plan(
+            "auto",
+            "auto",
+            payload_bytes=AUTO_DEVICE_PT_MIN_BYTES,
+            device_pt_eligible=True,
+            tunneled=True,
+        )
+        assert (pt, tr) == ("device", "bfloat16")
+        pt, tr = _resolve_fit_plan(
+            "auto",
+            "auto",
+            payload_bytes=AUTO_INT8_MIN_BYTES,
+            device_pt_eligible=True,
+            tunneled=True,
+        )
+        assert (pt, tr) == ("device", "int8")
+
+    def test_ineligible_fit_stays_host_even_when_large(self) -> None:
+        pt, tr = _resolve_fit_plan(
+            "auto",
+            "auto",
+            payload_bytes=AUTO_INT8_MIN_BYTES,
+            device_pt_eligible=False,
+            tunneled=True,
+        )
+        assert (pt, tr) == ("host", "float32")
+
+    def test_explicit_values_pass_through(self) -> None:
+        pt, tr = _resolve_fit_plan(
+            "host",
+            "float32",
+            payload_bytes=AUTO_INT8_MIN_BYTES,
+            device_pt_eligible=True,
+            tunneled=True,
+        )
+        assert (pt, tr) == ("host", "float32")
+        pt, tr = _resolve_fit_plan(
+            "device",
+            "int8",
+            payload_bytes=0,
+            device_pt_eligible=True,
+            tunneled=False,
+        )
+        assert (pt, tr) == ("device", "int8")
+
+    def test_explicit_device_with_auto_transfer_stays_lossless_off_tunnel(self) -> None:
+        pt, tr = _resolve_fit_plan(
+            "device",
+            "auto",
+            payload_bytes=AUTO_INT8_MIN_BYTES,
+            device_pt_eligible=True,
+            tunneled=False,
+        )
+        assert (pt, tr) == ("device", "float32")
+
+
+def test_default_small_fit_resolves_to_host_parity_path() -> None:
+    X, y = _make_reg()
+    model = NeoLSSVM().fit(X, y)
+    assert model.pre_transform_ == "host"
+    assert model.transfer_ == "float32"
+    # Bit-parity invariant: the auto default at small n is exactly the host path.
+    explicit = NeoLSSVM(pre_transform="host", transfer="float32").fit(X, y)
+    np.testing.assert_array_equal(model.loo_residuals_, explicit.loo_residuals_)
+
+
+def test_auto_routes_device_above_threshold(monkeypatch: pytest.MonkeyPatch) -> None:
+    monkeypatch.setattr(est_mod, "AUTO_DEVICE_PT_MIN_BYTES", 1024)
+    X, y = _make_reg()
+    model = NeoLSSVM().fit(X, y)
+    assert model.pre_transform_ == "device"
+    assert model.transfer_ == "float32"  # CPU backend is not tunneled
+    assert model.score(X, y) > 0.5
+
+
+def test_auto_narrows_wire_on_tunneled_backend(monkeypatch: pytest.MonkeyPatch) -> None:
+    monkeypatch.setattr(est_mod, "AUTO_DEVICE_PT_MIN_BYTES", 1024)
+    monkeypatch.setattr(est_mod, "_is_tunneled_backend", lambda: True)
+    X, y = _make_reg()
+    model = NeoLSSVM().fit(X, y)
+    assert (model.pre_transform_, model.transfer_) == ("device", "bfloat16")
+    assert model.score(X, y) > 0.5
+    monkeypatch.setattr(est_mod, "AUTO_INT8_MIN_BYTES", 1024)
+    model = NeoLSSVM().fit(X, y)
+    assert (model.pre_transform_, model.transfer_) == ("device", "int8")
+    assert model.score(X, y) > 0.5
+
+
+def test_explicit_lossy_transfer_with_auto_host_resolution_raises() -> None:
+    X, y = _make_reg()  # small payload: auto pre-transform resolves to host
+    with pytest.raises(ValueError, match="on-device pre-transform"):
+        NeoLSSVM(transfer="int8").fit(X, y)
+
+
+def test_dual_route_resolves_host_float32() -> None:
+    X, y = _make_reg(n=600)
+    model = NeoLSSVM().fit(X, y)
+    assert model.dual_
+    assert (model.pre_transform_, model.transfer_) == ("host", "float32")
+
+
+def test_resolved_plan_survives_state_dict_roundtrip(
+    monkeypatch: pytest.MonkeyPatch,
+) -> None:
+    from neo_ls_svm_tpu.utils.serialization import (
+        model_from_state_dict,
+        model_to_state_dict,
+    )
+
+    monkeypatch.setattr(est_mod, "AUTO_DEVICE_PT_MIN_BYTES", 1024)
+    X, y = _make_reg()
+    model = NeoLSSVM().fit(X, y)
+    restored = model_from_state_dict(model_to_state_dict(model))
+    assert restored.pre_transform_ == model.pre_transform_ == "device"
+    assert restored.transfer_ == model.transfer_
+    np.testing.assert_allclose(restored.predict(X[:32]), model.predict(X[:32]), rtol=1e-5)

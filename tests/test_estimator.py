@@ -5,6 +5,7 @@ the upstream implementation, behavioural floors (quantile monotonicity, conforma
 coverage, beats classic SVMs), and pandas passthrough — on offline synthetic datasets.
 """
 
+import jax.numpy as jnp
 import numpy as np
 import pandas as pd
 import pytest
@@ -426,3 +427,62 @@ def test_classifier_predict_quantiles_matches_reference() -> None:
     q_ref = np.asarray(theirs.predict_quantiles(X_test, quantiles=(0.1, 0.5, 0.9)))
     assert q_ours.shape == q_ref.shape == (len(X_test), 3, 2)
     assert np.max(np.abs(q_ours - q_ref)) <= 1e-6
+
+
+def test_dual_conformal_host_path_uploads_once() -> None:
+    """The dual host conformal path fuses ŷ and σ into ONE chunk program per chunk
+    (VERDICT r3 #6 follow-up): predict_quantiles must issue a single _in_chunks pass,
+    and its fused outputs must match the separate decision_function/predict_std calls."""
+    from unittest.mock import patch
+
+    (X_tr, y_tr), (X_te, _) = _datasets("regression", 700)  # n ≤ 1024 → dual route
+    model = NeoLSSVM().fit(X_tr, y_tr)
+    assert model.dual_
+    yhat_ref = np.asarray(model.decision_function(X_te))
+    std_ref = np.asarray(model.predict_std(X_te))
+    q_ref = model.predict_quantiles(X_te)  # caches the conformal fit
+    calls = {"n": 0}
+    orig = NeoLSSVM._in_chunks
+
+    def counting(self, X, fn, **kwargs):
+        calls["n"] += 1
+        return orig(self, X, fn, **kwargs)
+
+    with patch.object(NeoLSSVM, "_in_chunks", counting):
+        q = model.predict_quantiles(X_te)
+    assert calls["n"] == 1, f"expected one fused chunk pass, got {calls['n']}"
+    np.testing.assert_allclose(q, q_ref, rtol=1e-10)
+    # The fused chunk program reproduces the separate-call outputs exactly.
+    both = model._in_chunks(
+        model.dual_feature_map_.transform(X_te),
+        lambda X_c: model._dual_decision_var_device(jnp.asarray(X_c)),
+        device_out=False,
+    )
+    np.testing.assert_allclose(both[:, 0], yhat_ref, rtol=1e-10)
+    np.testing.assert_allclose(np.sqrt(np.maximum(both[:, 1], 0.0)), std_ref, rtol=1e-10)
+
+
+def test_concurrent_conformal_pair_matches_sequential() -> None:
+    """_fit_conformal_pair overlaps the two level-1 LP fits in threads; the fitted
+    planes and biases must be identical to the sequential path."""
+    (X_tr, y_tr), (X_te, _) = _make_priced_dataset(3000)
+    quantiles = (0.1, 0.5, 0.9)
+    seq = NeoLSSVM().fit(X_tr, y_tr)
+    seq._lazily_fit_conformal_predictor("Δŷ", quantiles)
+    seq._lazily_fit_conformal_predictor("Δŷ/ŷ", quantiles)
+    par = NeoLSSVM().fit(X_tr, y_tr)
+    par._fit_conformal_pair(quantiles)
+    key = tuple(np.asarray(quantiles))
+    for target in ("Δŷ", "Δŷ/ŷ"):
+        assert key in par.conformal_l1_[target]
+        np.testing.assert_allclose(
+            par.conformal_l1_[target][key].β_, seq.conformal_l1_[target][key].β_, rtol=1e-12
+        )
+        np.testing.assert_allclose(
+            par.conformal_l2_[target][key], seq.conformal_l2_[target][key], rtol=1e-12
+        )
+    np.testing.assert_allclose(
+        par.predict_quantiles(X_te, quantiles=quantiles),
+        seq.predict_quantiles(X_te, quantiles=quantiles),
+        rtol=1e-12,
+    )
