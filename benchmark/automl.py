@@ -320,7 +320,7 @@ def evaluate_task(
             pred = np.asarray(pipeline.predict(X_test), dtype=np.float64)
             record["r2"] = round(float(r2_score(np.asarray(y_test, np.float64), pred)), 4)
         records.append(record)
-        print(json.dumps(record))
+        print(json.dumps(record), flush=True)
     return records
 
 
@@ -399,7 +399,12 @@ def run_suite(kind: str, args: argparse.Namespace) -> tuple[int, list[dict]]:
         models = build_models(kind)
         if args.skip_reference:
             models = [m for m in models if "reference" not in m["name"]]
-        tasks = [t for t in TASKS if make_task(t)[2] == kind]
+        # Smallest tasks first so `--smoke --limit N` stays fast on weak hosts (the
+        # SVM baselines are O(n²⁺) and the first-dataset warm-up doubles them).
+        tasks = sorted(
+            (t for t in TASKS if make_task(t)[2] == kind),
+            key=lambda t: len(make_task(t)[1]),
+        )
         if args.limit:
             tasks = tasks[: args.limit]
         first = True

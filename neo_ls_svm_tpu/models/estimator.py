@@ -260,6 +260,7 @@ class NeoLSSVM(BaseEstimator):
         pre_transform: Literal["auto", "host", "device"] = "auto",
         transfer: Literal["auto", "float32", "bfloat16", "int8"] = "auto",
         mesh: Any = None,
+        conformal_method: Literal["exact", "smooth"] = "exact",
     ) -> None:
         self.primal_feature_map = primal_feature_map
         self.dual_feature_map = dual_feature_map
@@ -270,6 +271,7 @@ class NeoLSSVM(BaseEstimator):
         self.pre_transform = pre_transform
         self.transfer = transfer
         self.mesh = mesh
+        self.conformal_method = conformal_method
 
     # ------------------------------------------------------------------ fitting
 
@@ -329,6 +331,13 @@ class NeoLSSVM(BaseEstimator):
             msg = (
                 f"transfer must be 'auto', 'float32', 'bfloat16' or 'int8', "
                 f"got {self.transfer!r}."
+            )
+            raise ValueError(msg)
+        if self.conformal_method not in ("exact", "smooth"):
+            msg = (
+                f"conformal_method must be 'exact' (host HiGHS LP, reference-grade "
+                f"optimum) or 'smooth' (batched on-device Newton), "
+                f"got {self.conformal_method!r}."
             )
             raise ValueError(msg)
         if self.transfer not in ("auto", "float32") and self.pre_transform == "host":
@@ -1295,25 +1304,92 @@ class NeoLSSVM(BaseEstimator):
 
     # --------------------------------------------------------------- conformal stack
 
-    def _fit_conformal_pair(self, quantiles: npt.ArrayLike) -> None:
-        """Fit the "Δŷ" and "Δŷ/ŷ" level-1 regressors concurrently (VERDICT r3 #6).
+    def _conformal_design(self, target_type: str, level: str = "l1") -> tuple:
+        """The (X, y) design of one conformal level for one target type
+        (ref ``_neo_ls_svm.py:497-510``): nonconformity score (+ |ŷ| for regressors)
+        against the negated (possibly ŷ-relative) calibration residuals."""
+        yhat = getattr(self, f"ŷ_calib_{level}_")
+        eps = np.finfo(self.ŷ_calib_l1_.dtype).eps
+        abs_yhat = np.maximum(np.abs(yhat), eps)
+        X = getattr(self, f"nonconformity_calib_{level}_")[:, np.newaxis]
+        if self._estimator_type == "regressor":
+            X = np.hstack([X, np.abs(yhat[:, np.newaxis])])
+        relative = "/ŷ" in target_type
+        y = -getattr(self, f"residuals_calib_{level}_") / (abs_yhat if relative else 1)
+        return X, y
 
-        The two level-1 CQR fits share the design matrix but solve independent HiGHS
-        LPs on the host; running them through a 2-thread pool overlaps the solver
-        time (HiGHS releases the GIL during the C++ solve), halving the conformal
-        first-call latency on multi-core hosts. Subsequent
-        :meth:`_lazily_fit_conformal_predictor` calls hit the cache.
+    def _conformal_level2_bias(
+        self,
+        cqr_l1: CoherentLinearQuantileRegressor,
+        target_type: str,
+        quantiles: npt.NDArray,
+        X_l1: npt.NDArray,
+        y_l1: npt.NDArray,
+    ) -> npt.NDArray:
+        """Level 2: per-quantile bias on top of the level-1 quantile predictions,
+        clipped so coherence survives (ref ``:511-531``)."""
+        bias_l2 = np.zeros(quantiles.shape, dtype=self.ŷ_calib_l1_.dtype)
+        if len(self.ŷ_calib_l2_) >= CONFORMAL_L2_MIN:
+            X_l2, y_l2 = self._conformal_design(target_type, level="l2")
+            delta_l2 = cqr_l1.predict(X_l2)
+            clip = cqr_l1.intercept_clip(np.vstack([X_l1, X_l2]), np.hstack([y_l1, y_l2]))
+            for j, quantile in enumerate(quantiles):
+                intercept_l2 = np.quantile(y_l2 - delta_l2[:, j], quantile)
+                bias_l2[j] = np.clip(intercept_l2, clip[0, j], clip[1, j])
+        return bias_l2
+
+    def _fit_conformal_pair(self, quantiles: npt.ArrayLike) -> None:
+        """Fit the "Δŷ" and "Δŷ/ŷ" level-1 regressors together (VERDICT r3 #6).
+
+        The two level-1 CQR fits share the design matrix; only the target differs
+        (absolute vs ŷ-relative residuals). ``conformal_method="exact"`` (default)
+        overlaps the two independent HiGHS LPs through a 2-thread pool (HiGHS
+        releases the GIL during the C++ solve), halving the conformal first-call
+        latency on multi-core hosts. ``conformal_method="smooth"`` solves BOTH
+        problems in ONE vmapped damped-Newton device program
+        (:func:`~neo_ls_svm_tpu.models.cqr.coherent_linear_quantile_regression_batched`)
+        — the TPU-native path, trading the LP's exact optimum for the smooth
+        solver's documented ≤0.5% pinball gap. Subsequent
+        :meth:`_lazily_fit_conformal_predictor` calls hit the cache either way.
         """
         key = tuple(np.asarray(quantiles))
         missing = [t for t in ("Δŷ", "Δŷ/ŷ") if key not in self.conformal_l1_[t]]
         if len(missing) < 2:
-            # 0 or 1 missing: nothing to overlap; the caller's sequential path fits it.
+            # 0 or 1 missing: nothing to batch/overlap; the caller's sequential
+            # path fits the stragglers.
+            return
+        # Materialise the shared calibration attributes BEFORE spawning/batching:
+        # the lazy __getattr__ pull must not race between the two fit threads.
+        self.ŷ_calib_l1_  # noqa: B018
+        if getattr(self, "conformal_method", "exact") == "smooth":
+            from neo_ls_svm_tpu.models.cqr import (  # noqa: PLC0415
+                coherent_linear_quantile_regression_batched,
+            )
+
+            quantiles_arr = np.asarray(quantiles)
+            X_l1, y_abs = self._conformal_design("Δŷ")
+            _, y_rel = self._conformal_design("Δŷ/ŷ")
+            X_i = np.hstack([X_l1, np.ones((X_l1.shape[0], 1), dtype=X_l1.dtype)])
+            beta, beta_full = coherent_linear_quantile_regression_batched(
+                X_i,
+                np.stack([y_abs, y_rel]),
+                quantiles=quantiles_arr.astype(y_abs.dtype),
+                sample_weight=self.sample_weight_calib_l1_,
+            )
+            for t, (target_type, y_t) in enumerate((("Δŷ", y_abs), ("Δŷ/ŷ", y_rel))):
+                cqr = CoherentLinearQuantileRegressor(
+                    quantiles=quantiles_arr, method="smooth"
+                )
+                cqr.n_features_in_ = X_l1.shape[1]
+                cqr.y_dtype_ = y_t.dtype
+                cqr.β_, cqr.β_full_ = beta[t], beta_full[t]
+                self.conformal_l1_[target_type][key] = cqr
+                self.conformal_l2_[target_type][key] = self._conformal_level2_bias(
+                    cqr, target_type, quantiles_arr, X_l1, y_t
+                )
             return
         from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
 
-        # Materialise the shared calibration attributes BEFORE spawning: the lazy
-        # __getattr__ pull must not race between the two fit threads.
-        self.ŷ_calib_l1_  # noqa: B018
         with ThreadPoolExecutor(max_workers=2) as pool:
             futures = [
                 pool.submit(self._lazily_fit_conformal_predictor, t, quantiles)
@@ -1330,30 +1406,13 @@ class NeoLSSVM(BaseEstimator):
         key = tuple(quantiles)
         if key in self.conformal_l1_[target_type]:
             return self.conformal_l1_[target_type][key], self.conformal_l2_[target_type][key]
-        eps = np.finfo(self.ŷ_calib_l1_.dtype).eps
-        abs_yhat_l1 = np.maximum(np.abs(self.ŷ_calib_l1_), eps)
-        X_l1 = self.nonconformity_calib_l1_[:, np.newaxis]
-        if self._estimator_type == "regressor":
-            X_l1 = np.hstack([X_l1, np.abs(self.ŷ_calib_l1_[:, np.newaxis])])
-        relative = "/ŷ" in target_type
-        y_l1 = -self.residuals_calib_l1_ / (abs_yhat_l1 if relative else 1)
-        cqr_l1 = CoherentLinearQuantileRegressor(quantiles=quantiles)
+        X_l1, y_l1 = self._conformal_design(target_type)
+        cqr_l1 = CoherentLinearQuantileRegressor(
+            quantiles=quantiles, method=getattr(self, "conformal_method", "exact")
+        )
         cqr_l1.fit(X_l1, y_l1, sample_weight=self.sample_weight_calib_l1_)
         self.conformal_l1_[target_type][key] = cqr_l1
-        # Level 2: per-quantile bias on top of the level-1 quantile predictions,
-        # clipped so coherence survives (ref :511-531).
-        bias_l2 = np.zeros(quantiles.shape, dtype=self.ŷ_calib_l1_.dtype)
-        if len(self.ŷ_calib_l2_) >= CONFORMAL_L2_MIN:
-            abs_yhat_l2 = np.maximum(np.abs(self.ŷ_calib_l2_), eps)
-            X_l2 = self.nonconformity_calib_l2_[:, np.newaxis]
-            if self._estimator_type == "regressor":
-                X_l2 = np.hstack([X_l2, np.abs(self.ŷ_calib_l2_[:, np.newaxis])])
-            y_l2 = -self.residuals_calib_l2_ / (abs_yhat_l2 if relative else 1)
-            delta_l2 = cqr_l1.predict(X_l2)
-            clip = cqr_l1.intercept_clip(np.vstack([X_l1, X_l2]), np.hstack([y_l1, y_l2]))
-            for j, quantile in enumerate(quantiles):
-                intercept_l2 = np.quantile(y_l2 - delta_l2[:, j], quantile)
-                bias_l2[j] = np.clip(intercept_l2, clip[0, j], clip[1, j])
+        bias_l2 = self._conformal_level2_bias(cqr_l1, target_type, quantiles, X_l1, y_l1)
         self.conformal_l2_[target_type][key] = bias_l2
         return cqr_l1, bias_l2
 

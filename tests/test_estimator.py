@@ -486,3 +486,37 @@ def test_concurrent_conformal_pair_matches_sequential() -> None:
         seq.predict_quantiles(X_te, quantiles=quantiles),
         rtol=1e-12,
     )
+
+
+def test_conformal_method_smooth_batched_device_solve() -> None:
+    """conformal_method='smooth' routes the conformal stack through ONE batched
+    vmapped-Newton device solve for both target types (the TPU-native CQR consumer,
+    VERDICT r3 #6): quantiles stay monotone and land close to the exact-LP path."""
+    (X_tr, y_tr), (X_te, y_te) = _make_priced_dataset(4000)
+    exact = NeoLSSVM().fit(X_tr, y_tr)
+    smooth = NeoLSSVM(conformal_method="smooth").fit(X_tr, y_tr)
+    q_exact = np.asarray(exact.predict_quantiles(X_te))
+    q_smooth = np.asarray(smooth.predict_quantiles(X_te))
+    assert np.all(np.diff(q_smooth, axis=1) >= 0), "smooth quantiles must stay coherent"
+    # The smooth solver's documented gap to the LP optimum is ≤0.5% in pinball —
+    # small in objective, so quantile planes land close in the typical row (the
+    # per-row min-dispersion abs/rel pick can amplify tail rows; gate the median
+    # and a generous worst-row bound).
+    spread = np.quantile(y_te, 0.975) - np.quantile(y_te, 0.025)
+    deviation = np.abs(q_smooth - q_exact)
+    assert np.median(deviation) < 0.02 * spread, (np.median(deviation), spread)
+    assert np.max(deviation) < 0.25 * spread, (np.max(deviation), spread)
+    # Both level-1 regressors came from the one batched fit.
+    key = (0.025, 0.5, 0.975)
+    for target in ("Δŷ", "Δŷ/ŷ"):
+        assert smooth.conformal_l1_[target][key].method == "smooth"
+    # Coverage stays sane.
+    lo, hi = np.asarray(smooth.predict_interval(X_te, coverage=0.8)).T
+    coverage = np.mean((lo <= y_te) & (y_te <= hi))
+    assert coverage >= 0.97 * 0.8, coverage
+
+
+def test_conformal_method_validation() -> None:
+    (X_tr, y_tr), _ = _datasets("regression", 700)
+    with pytest.raises(ValueError, match="conformal_method"):
+        NeoLSSVM(conformal_method="lp").fit(X_tr, y_tr)
