@@ -26,7 +26,7 @@ def main() -> None:
             pass
 
     from neo_ls_svm_tpu import NeoLSSVM
-    from neo_ls_svm_tpu.parallel.distributed import initialize_distributed, make_multihost_mesh
+    from neo_ls_svm_tpu.parallel.distributed import initialize_distributed
     from neo_ls_svm_tpu.parallel.mesh import make_mesh
 
     # 1. Multi-process init (no-op on a single host; on a TPU pod run one process per
@@ -47,9 +47,11 @@ def main() -> None:
     #    crosses chips as one psum. When even a per-chip shard would be large, the
     #    estimator composes sharding with streaming automatically.
     if len(jax.devices()) >= 2:
-        mesh = make_multihost_mesh()  # DCN-aware across pod slices; ICI mesh otherwise
-        sharded = NeoLSSVM(mesh=mesh).fit(X, y)
-        print(f"mesh {dict(mesh.shape)} fit: loo R² = {sharded.loo_score_:.4f}")
+        # mesh="auto" builds the ("data", "feature") mesh over every visible device;
+        # hand-build with make_mesh (custom layouts) or make_multihost_mesh
+        # (DCN-aware across pod slices) when the default layout doesn't fit.
+        sharded = NeoLSSVM(mesh="auto").fit(X, y)
+        print(f"mesh {dict(sharded.mesh_.shape)} fit: loo R² = {sharded.loo_score_:.4f}")
         # A 2-D layout keeps a "feature" axis for the n×2M contractions at very large D:
         mesh2d = make_mesh(num_data=len(jax.devices()) // 2, num_feature=2)
         print(f"2-D mesh available: {dict(mesh2d.shape)}")

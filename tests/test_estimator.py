@@ -94,9 +94,18 @@ def _make_priced_dataset(n: int = 6000, d: int = 8, seed: int = 31):
     return (X[:split], y[:split]), (X[split:], y[split:])
 
 
-def test_quantiles_monotone_and_interval_coverage() -> None:
+@pytest.fixture(scope="module")
+def priced_fits():
+    """One shared (ours, reference) fit on the priced dataset for every conformal
+    test in this module — the reference refit was the single largest line in the
+    suite's wall-clock (VERDICT r3 #10). Tests only ADD conformal cache entries
+    (keyed by quantile tuple), so sharing the fitted pair is safe."""
     (X, y), (X_test, y_test) = _make_priced_dataset()
-    model = NeoLSSVM().fit(X, y)
+    return NeoLSSVM().fit(X, y), RefNeoLSSVM().fit(X, y), (X, y), (X_test, y_test)
+
+
+def test_quantiles_monotone_and_interval_coverage(priced_fits) -> None:
+    model, _, _, (X_test, y_test) = priced_fits
     quantiles = (0.05, 0.1, 0.25, 0.5, 0.75, 0.9, 0.95)
     yq = model.predict_quantiles(X_test, quantiles=quantiles)
     assert yq.shape == (len(X_test), len(quantiles))
@@ -107,7 +116,7 @@ def test_quantiles_monotone_and_interval_coverage() -> None:
         assert empirical >= 0.97 * coverage
 
 
-def test_predict_quantiles_matches_reference_end_to_end() -> None:
+def test_predict_quantiles_matches_reference_end_to_end(priced_fits) -> None:
     """Numeric parity of the full two-level conformal stack vs the reference.
 
     The whole pipeline — LOO fit, conformal split, level-1 CQR (exact LP on both
@@ -116,9 +125,7 @@ def test_predict_quantiles_matches_reference_end_to_end() -> None:
     (ref _neo_ls_svm.py:554-645). Measured gap is ~5e-12; the gate allows 1e-6×IQR
     for HiGHS vertex-selection slack on degenerate LPs.
     """
-    (X, y), (X_test, _) = _make_priced_dataset(n=4000)
-    ours = NeoLSSVM().fit(X, y)
-    theirs = RefNeoLSSVM().fit(X, y)
+    ours, theirs, (_, y), (X_test, _) = priced_fits
     iqr = float(np.percentile(y, 75) - np.percentile(y, 25))
     q_ours = np.asarray(ours.predict_quantiles(X_test, quantiles=(0.025, 0.5, 0.975)))
     q_ref = np.asarray(theirs.predict_quantiles(X_test, quantiles=(0.025, 0.5, 0.975)))
@@ -465,7 +472,7 @@ def test_dual_conformal_host_path_uploads_once() -> None:
 def test_concurrent_conformal_pair_matches_sequential() -> None:
     """_fit_conformal_pair overlaps the two level-1 LP fits in threads; the fitted
     planes and biases must be identical to the sequential path."""
-    (X_tr, y_tr), (X_te, _) = _make_priced_dataset(3000)
+    (X_tr, y_tr), (X_te, _) = _make_priced_dataset(2000)
     quantiles = (0.1, 0.5, 0.9)
     seq = NeoLSSVM().fit(X_tr, y_tr)
     seq._lazily_fit_conformal_predictor("Δŷ", quantiles)
@@ -495,6 +502,7 @@ def test_conformal_method_smooth_batched_device_solve() -> None:
     (X_tr, y_tr), (X_te, y_te) = _make_priced_dataset(4000)
     exact = NeoLSSVM().fit(X_tr, y_tr)
     smooth = NeoLSSVM(conformal_method="smooth").fit(X_tr, y_tr)
+    assert exact.γ_ == smooth.γ_  # identical LOO fit; only the conformal solver differs
     q_exact = np.asarray(exact.predict_quantiles(X_te))
     q_smooth = np.asarray(smooth.predict_quantiles(X_te))
     assert np.all(np.diff(q_smooth, axis=1) >= 0), "smooth quantiles must stay coherent"
