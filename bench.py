@@ -8,6 +8,10 @@ Artifact contract (the driver captures the tail of stdout):
 - The full lane matrix (every alternate fit mode, serving lanes, device phase
   breakdown — each with ``{trials, best_s, median_s, all_s}``) is written to
   ``benchmark/bench_extra.json`` and echoed to stderr.
+- If a tunnel hang stalls the run past ``BENCH_WATCHDOG_S`` (default 3300 s), a
+  watchdog emits whatever headline evidence exists so far (flagged
+  ``watchdog_fired`` with the hung stage) as the stdout line and exits 2 —
+  a partial artifact beats the empty stdout a driver-side kill would leave.
 
 Protocol (BASELINE.md north star): synthetic RBF regression, default n=262144 rows,
 d=32 features, float32 (the reference keeps float32 inputs in float32). Both sides run
@@ -31,6 +35,33 @@ import numpy as np
 
 REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 EXTRA_PATH = os.path.join(REPO_DIR, "benchmark", "bench_extra.json")
+
+# Hang insurance: the tunneled TPU occasionally blocks a single device call for many
+# minutes (one 345 s hang is on record; this session observed >10 min). If the whole
+# run exceeds this budget, a daemon watchdog emits whatever headline evidence exists
+# so far as THE stdout JSON line and exits — a partially-measured artifact beats the
+# empty stdout a driver-side kill would leave. Override via BENCH_WATCHDOG_S.
+WATCHDOG_S = float(os.environ.get("BENCH_WATCHDOG_S", "3300"))
+_WATCHDOG = {"done": False, "stage": "start", "partial": {}}
+
+
+def _watchdog_fire(timeout_s: float) -> None:
+    time.sleep(timeout_s)
+    if _WATCHDOG["done"]:
+        return
+    headline = {
+        "metric": "fit_wallclock_synthetic_rbf",
+        **_WATCHDOG["partial"],
+        "watchdog_fired": True,
+        "hung_at": _WATCHDOG["stage"],
+        "watchdog_s": timeout_s,
+    }
+    line = json.dumps(headline, separators=(",", ":"))[:1900]
+    print(f"[bench] WATCHDOG: no completion after {timeout_s:.0f}s; stage "
+          f"{_WATCHDOG['stage']!r}; emitting partial headline", file=sys.stderr)
+    sys.stderr.flush()
+    print(line, flush=True)
+    os._exit(2)
 
 
 def trial_stats(times: list[float]) -> dict:
@@ -372,6 +403,7 @@ FIT_LANES: tuple[tuple[str, dict], ...] = (
 def run_fit_lane(X, y, lane: str, params: dict, trials: int = 2) -> dict:
     """One alternate-configuration fit lane with full trial statistics recorded."""
     n = X.shape[0]
+    _WATCHDOG["stage"] = f"lane:{lane}:n{n}"
     try:
         stats, lane_model, lane_phases = timed_best_fit(X, y, trials=trials, **params)
         record = {
@@ -407,11 +439,22 @@ def main() -> None:
     X, y = make_dataset(n, args.d)
     print(f"[bench] dataset n={n} d={args.d} dtype={X.dtype}", file=sys.stderr)
 
+    import threading  # noqa: PLC0415
+
+    threading.Thread(target=_watchdog_fire, args=(WATCHDOG_S,), daemon=True).start()
+    _WATCHDOG["partial"]["metric"] = f"fit_wallclock_synthetic_rbf_n{n}_d{args.d}_f32"
+
+    _WATCHDOG["stage"] = "tunnel_probe"
     probe = tunnel_probe(mb=4 if args.smoke else 32)
     print(f"[bench] tunnel probe: {probe}", file=sys.stderr)
+    _WATCHDOG["partial"]["tunnel_probe_upload_best_s"] = probe["upload"]["best_s"]
 
+    _WATCHDOG["stage"] = "primary_fit"
     ours_stats, model, phases = run_ours(X, y, trials=2 if args.smoke else 3)
     ours_s = ours_stats["best_s"]
+    _WATCHDOG["partial"].update(
+        value=round(ours_s, 4), unit="s", **{k: v for k, v in ours_stats.items() if k != "best_s"}
+    )
     # Device-phase throughput estimate: dominant fit flops (augmented Gram, eigenbasis
     # projection, the two G-wide resolvent contractions, pass-3 stats, eigh) over the
     # post-host-prep wall (includes dispatch + the completion round-trip, so this is a
@@ -442,6 +485,7 @@ def main() -> None:
     extra_metrics: list[dict] = []
     one_m_summary: dict | None = None
     if not args.smoke:
+        _WATCHDOG["stage"] = "serving_and_alternate_lanes"
         try:
             dev_stats = measure_device_predict(model, X)
             dev_predict_s = dev_stats["best_s"]
@@ -546,6 +590,7 @@ def main() -> None:
         # this host (852 s, see BASELINE.md north-star table / CLAUDE.md) stands in,
         # flagged via "baseline_recorded".
         recorded_1m_baseline_s = 852.0
+        _WATCHDOG["stage"] = "1m_lanes"
         X1, y1 = make_dataset(1 << 20, 32)
         probe_1m = tunnel_probe()
         extra_metrics.append({"metric": "tunnel_probe_before_1m", **probe_1m})
@@ -570,6 +615,7 @@ def main() -> None:
             extra_metrics.append(record)
         del X1, y1
 
+    _WATCHDOG["stage"] = "numpy_baseline"
     if args.skip_baseline:
         baseline_s = float("nan")
     else:
@@ -612,6 +658,7 @@ def main() -> None:
     print(f"[bench] extras: {json.dumps(extra_metrics)}", file=sys.stderr)
     line = json.dumps(headline, separators=(",", ":"))
     assert len(line) < 1900, f"headline line must fit the driver tail ({len(line)} chars)"
+    _WATCHDOG["done"] = True  # the real headline is about to land; stand down
     print(line)
 
 
