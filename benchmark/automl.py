@@ -203,11 +203,17 @@ def build_models(kind: str) -> list[dict]:
         return make_pipeline(make_vectorizer(), NeoLSSVM())
 
     models = [{"name": "NeoLSSVM", "factory": ours, "svm_limited": False}]
+    tests_dir = os.path.join(os.path.dirname(__file__), "..", "tests")
     try:
-        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
-        from reference_shim import import_reference  # noqa: PLC0415
+        # Scoped insert: tests/ must not stay on sys.path (its module names —
+        # conftest, reference_shim — would shadow same-named imports later).
+        sys.path.insert(0, tests_dir)
+        try:
+            from reference_shim import import_reference  # noqa: PLC0415
 
-        import_reference()
+            import_reference()
+        finally:
+            sys.path.remove(tests_dir)
         from neo_ls_svm import NeoLSSVM as RefNeoLSSVM  # noqa: PLC0415
 
         models.append(
@@ -306,7 +312,7 @@ def evaluate_task(
             "task": task_name,
             "kind": kind,
             "n": int(np.shape(X)[0]),
-            "d": int(np.shape(X)[-1]) if np.ndim(X) > 1 else int(X.shape[1]),
+            "d": int(np.shape(X)[1]) if np.ndim(X) > 1 else 1,
             "model": model["name"],
             "fit_seconds": round(fit_s, 3),
         }
@@ -399,17 +405,18 @@ def run_suite(kind: str, args: argparse.Namespace) -> tuple[int, list[dict]]:
         models = build_models(kind)
         if args.skip_reference:
             models = [m for m in models if "reference" not in m["name"]]
-        # Smallest tasks first so `--smoke --limit N` stays fast on weak hosts (the
-        # SVM baselines are O(n²⁺) and the first-dataset warm-up doubles them).
+        # Materialise each task ONCE (construction is not free on this 1-core
+        # host), then filter by kind and sort smallest-first so `--smoke --limit N`
+        # stays fast (the SVM baselines are O(n²⁺) and the first-dataset warm-up
+        # doubles them).
+        made = [(t, *make_task(t)) for t in TASKS]
         tasks = sorted(
-            (t for t in TASKS if make_task(t)[2] == kind),
-            key=lambda t: len(make_task(t)[1]),
+            ((t, X, y) for t, X, y, k in made if k == kind), key=lambda item: len(item[2])
         )
         if args.limit:
             tasks = tasks[: args.limit]
         first = True
-        for task_name in tasks:
-            X, y, _ = make_task(task_name)
+        for task_name, X, y in tasks:
             import pandas as pd  # noqa: PLC0415
 
             X_df = pd.DataFrame(X)

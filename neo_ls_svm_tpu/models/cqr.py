@@ -305,10 +305,12 @@ def coherent_linear_quantile_regression_batched(
     """Fit T coherent quantile regressions sharing one design matrix in a single
     vmapped Newton solve (the smooth/scale path).
 
-    ``Y`` has shape (T, n). This is the public multi-target batch API for problems
-    large enough to route to the jitted Newton solver; the estimator's conformal
-    stack does NOT use it — its problems are tiny (n ≤ 1440) and take the exact-LP
-    path, where the two HiGHS solves run sequentially on host.
+    ``Y`` has shape (T, n). Two consumers: the public multi-target batch API, and
+    the estimator's conformal stack under ``NeoLSSVM(conformal_method="smooth")``,
+    which solves the "Δŷ" and "Δŷ/ŷ" level-1 regressions as one T=2 batch
+    (``models/estimator.py::_fit_conformal_pair``). The default
+    ``conformal_method="exact"`` instead takes the exact-LP path, overlapping the
+    two HiGHS solves in a 2-thread pool.
     Returns (β, β_full) of shapes (T, F, |quantiles|) and (T, F, Q_full).
     """
     Y = np.atleast_2d(np.asarray(Y))

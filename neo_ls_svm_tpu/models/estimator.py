@@ -169,6 +169,13 @@ _LAZY_RESULT_ATTRS = frozenset(
 )
 
 
+def _primal_working_set_bytes(n_rows: int, num_features: int, itemsize: int) -> int:
+    """Primal-solver working-set estimate: ~3 transient copies of the n×2M real
+    embedding of φ. Single definition — the fit route decision and both mesh
+    routes must threshold on the SAME formula or they silently diverge."""
+    return 3 * n_rows * 2 * (num_features + 1) * itemsize
+
+
 def _bucket_rows(n: int) -> int:
     """Round n up to a ~6% shape bucket so repeated fits across datasets reuse XLA
     compilations (zero-weight padding is exactly invariant for the in-memory primal
@@ -411,7 +418,9 @@ class NeoLSSVM(BaseEstimator):
             # ~0.x s host→device copy rides under the host-side feature-map fit below.
             n_rows = X.shape[0]
             M_cols = getattr(self.primal_feature_map_, "num_features", 512) + 1
-            working_set_bytes = 3 * n_rows * 2 * M_cols * np.dtype(X.dtype).itemsize
+            working_set_bytes = _primal_working_set_bytes(
+                n_rows, M_cols - 1, np.dtype(X.dtype).itemsize
+            )
             route = (
                 "mesh"
                 if self.mesh_ is not None
@@ -451,6 +460,11 @@ class NeoLSSVM(BaseEstimator):
                 tunneled=_is_tunneled_backend() and route != "mesh",
             )
             use_device_pt = self.pre_transform_ == "device" and device_pt_eligible
+            # pre_transform_ records the route ACTUALLY taken: an explicit
+            # pre_transform="device" on an ineligible fit (e.g. a custom feature
+            # map overriding complexity_matrix) falls back to the host path, and
+            # the fitted attribute must say so rather than echo the request.
+            self.pre_transform_ = "device" if use_device_pt else "host"
             if self.transfer_ != "float32" and route == "mesh":
                 msg = (
                     f"transfer={self.transfer!r} is not supported on the mesh route: "
@@ -687,6 +701,17 @@ class NeoLSSVM(BaseEstimator):
         self._pending_result = result
         return self._finish_fit(X.shape[0], result)
 
+    def _device_pt_seed(self) -> int:
+        """The JAX-PRNG seed of the device pre-transform (single definition: the
+        single-chip and mesh device-pt routes must draw identically for the same
+        ``random_state`` or their fits diverge on the same data)."""
+        from neo_ls_svm_tpu.utils.validation import check_random_state  # noqa: PLC0415
+
+        rs = self.random_state
+        if isinstance(rs, (int, np.integer)):
+            return int(rs)
+        return int(check_random_state(rs).randint(0, 2**31 - 1))
+
     def _fit_primal_device_pt(
         self,
         X_p: npt.NDArray,
@@ -710,7 +735,6 @@ class NeoLSSVM(BaseEstimator):
             DEVICE_PRETRANSFORM_BINS,
             device_pre_transform,
         )
-        from neo_ls_svm_tpu.utils.validation import check_random_state  # noqa: PLC0415
 
         n_rows, d = X_shape
         dtype = X_p.dtype
@@ -771,12 +795,7 @@ class NeoLSSVM(BaseEstimator):
             X_dev = X_dev.astype(dtype)
         if quant_scale is not None:
             X_dev = X_dev * small_dev[3][None, :]
-        rs = self.random_state
-        seed = (
-            int(rs)
-            if isinstance(rs, (int, np.integer))
-            else int(check_random_state(rs).randint(0, 2**31 - 1))
-        )
+        seed = self._device_pt_seed()
         fm = self.primal_feature_map_
         affine = fm.affine_feature_map
         pt = device_pre_transform(
@@ -866,22 +885,18 @@ class NeoLSSVM(BaseEstimator):
         from neo_ls_svm_tpu.parallel.mesh import (  # noqa: PLC0415
             sharded_primal_fit_device_pt,
         )
-        from neo_ls_svm_tpu.utils.validation import check_random_state  # noqa: PLC0415
 
         n_rows, d = X.shape
         fm = self.primal_feature_map_
         M_cols = int(fm.num_features) + 1
-        working_set_bytes = 3 * n_rows * 2 * M_cols * np.dtype(X.dtype).itemsize
+        working_set_bytes = _primal_working_set_bytes(
+            n_rows, int(fm.num_features), np.dtype(X.dtype).itemsize
+        )
         num_data = self.mesh_.shape["data"]
         stream_over_mesh = working_set_bytes / num_data > STREAMING_BYTES_THRESHOLD
         mesh_platform = next(iter(self.mesh_.devices.flat)).platform
         use_pallas = stream_over_mesh and mesh_platform == "tpu"
-        rs = self.random_state
-        seed = (
-            int(rs)
-            if isinstance(rs, (int, np.integer))
-            else int(check_random_state(rs).randint(0, 2**31 - 1))
-        )
+        seed = self._device_pt_seed()
         affine = fm.affine_feature_map
         result = sharded_primal_fit_device_pt(
             self.mesh_,
@@ -1131,12 +1146,16 @@ class NeoLSSVM(BaseEstimator):
         so no cross-chunk (or fit-time) grid consistency is needed. The default
         ``transfer="float32"`` path is byte-identical to a plain upload.
         """
-        if self.transfer_ == "bfloat16":
+        # getattr fallback: models fitted before the resolved-plan attributes
+        # existed (pre-0.4 pickles/state dicts) could only have used the lossless
+        # f32 wire, so "float32" is the faithful default on restore.
+        transfer = getattr(self, "transfer_", "float32")
+        if transfer == "bfloat16":
             import ml_dtypes  # noqa: PLC0415 - ships with jax
 
             X_d = staged_device_put(X_c, cast_dtype=np.dtype(ml_dtypes.bfloat16))
             return X_d.astype(self._compute_dtype())
-        if self.transfer_ == "int8":
+        if transfer == "int8":
             # The dequantisation grid rides the first chunk's put as one batched
             # call (ADVICE r3: a separate jnp.asarray(scale) transfer per chunk
             # pays ~100 ms of tunnel latency each, eroding the narrow-wire win).

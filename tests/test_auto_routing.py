@@ -160,3 +160,33 @@ def test_resolved_plan_survives_state_dict_roundtrip(
     assert restored.pre_transform_ == model.pre_transform_ == "device"
     assert restored.transfer_ == model.transfer_
     np.testing.assert_allclose(restored.predict(X[:32]), model.predict(X[:32]), rtol=1e-5)
+
+
+def test_pre_0_4_restored_model_predicts_without_transfer_attr() -> None:
+    """Models fitted before the resolved-plan attributes existed (pre-0.4 pickles)
+    lack ``transfer_``; host-path serving must fall back to the lossless f32 wire
+    they were fitted with instead of raising AttributeError."""
+    X, y = _make_reg()
+    model = NeoLSSVM().fit(X, y)
+    expected = np.asarray(model.predict(X[:32]))
+    del model.transfer_  # simulate a pre-0.4 restore
+    np.testing.assert_array_equal(np.asarray(model.predict(X[:32])), expected)
+
+
+def test_explicit_device_on_ineligible_fit_reports_host() -> None:
+    """An explicit pre_transform='device' on a fit that cannot take the device
+    route (custom complexity matrix) falls back to host — and the fitted
+    ``pre_transform_`` attribute must record the route actually taken."""
+    from neo_ls_svm_tpu.ops.orff import RandomFourierFeatures
+
+    class CustomComplexity(RandomFourierFeatures):
+        @property
+        def complexity_matrix(self):
+            return 2.0 * np.eye(self.D + 1, dtype=self.Z_.dtype)
+
+    X, y = _make_reg()
+    model = NeoLSSVM(
+        pre_transform="device", primal_feature_map=CustomComplexity()
+    ).fit(X, y)
+    assert model.pre_transform_ == "host"
+    assert model.score(X, y) > 0.5
