@@ -662,5 +662,28 @@ def main() -> None:
     print(line)
 
 
+def _main_with_headline_guard() -> None:
+    """Run main(); on a fatal error (e.g. 'Unable to initialize backend: UNAVAILABLE'
+    when the tunnel is down — observed as a ~25-min block then a hard failure) still
+    emit a parseable stdout headline recording the failure and the stage reached,
+    instead of a bare traceback the driver cannot parse."""
+    try:
+        main()
+    except SystemExit:
+        raise
+    except BaseException as exc:
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        headline = {
+            "metric": "fit_wallclock_synthetic_rbf",
+            **_WATCHDOG["partial"],
+            "error": f"{type(exc).__name__}: {exc}"[:400],
+            "failed_at": _WATCHDOG["stage"],
+        }
+        print(json.dumps(headline, separators=(",", ":"))[:1900], flush=True)
+        raise SystemExit(1) from exc
+
+
 if __name__ == "__main__":
-    main()
+    _main_with_headline_guard()
