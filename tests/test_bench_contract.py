@@ -64,3 +64,43 @@ def test_bench_smoke_json_line() -> None:
         assert lanes[name].get("value", 0) > 0, lanes[name]
         assert lanes[name]["trials"] >= 2, lanes[name]
         assert lanes[name]["median_s"] >= lanes[name]["value"], lanes[name]
+
+
+def test_bench_watchdog_emits_partial_headline() -> None:
+    """A stalled run (simulated via a 1 s budget) must still leave ONE parseable
+    stdout line flagged watchdog_fired, with exit code 2 — the artifact is evidence
+    of the hang instead of empty stdout."""
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO, BENCH_WATCHDOG_S="1")
+    result = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py"), "--n", "2048", "--skip-baseline"],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        env=env,
+        cwd=REPO,
+    )
+    assert result.returncode == 2, (result.returncode, result.stderr[-500:])
+    lines = [l for l in result.stdout.strip().splitlines() if l.strip()]
+    assert len(lines) == 1, lines
+    payload = json.loads(lines[-1])
+    assert payload["watchdog_fired"] is True
+    assert "hung_at" in payload
+
+
+def test_bench_fatal_error_emits_error_headline() -> None:
+    """A fatal exception (e.g. backend UNAVAILABLE during a tunnel outage) must
+    still leave one parseable stdout line recording the failure and stage."""
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
+    result = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py"), "--n", "-5"],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        env=env,
+        cwd=REPO,
+    )
+    assert result.returncode == 1
+    lines = [l for l in result.stdout.strip().splitlines() if l.strip()]
+    assert len(lines) == 1, lines
+    payload = json.loads(lines[-1])
+    assert "error" in payload and "failed_at" in payload
