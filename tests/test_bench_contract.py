@@ -17,7 +17,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def test_bench_smoke_json_line() -> None:
     env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
     result = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py"), "--n", "2048", "--skip-baseline"],
+        [sys.executable, os.path.join(REPO, "bench.py"), "--n", "1280", "--skip-baseline"],
         capture_output=True,
         text=True,
         timeout=600,
@@ -55,10 +55,10 @@ def test_bench_smoke_json_line() -> None:
     assert full["headline"]["metric"] == payload["metric"]
     lanes = {m["metric"]: m for m in full["extra_metrics"]}
     for name in (
-        "predict_device_resident_n2048",
-        "fit_fast_precision_n2048",
-        "fit_device_pretransform_n2048",
-        "fit_host_pretransform_n2048",
+        "predict_device_resident_n1280",
+        "fit_fast_precision_n1280",
+        "fit_device_pretransform_n1280",
+        "fit_host_pretransform_n1280",
     ):
         assert name in lanes, lanes.keys()
         assert lanes[name].get("value", 0) > 0, lanes[name]
@@ -72,7 +72,7 @@ def test_bench_watchdog_emits_partial_headline() -> None:
     of the hang instead of empty stdout."""
     env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO, BENCH_WATCHDOG_S="1")
     result = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py"), "--n", "2048", "--skip-baseline"],
+        [sys.executable, os.path.join(REPO, "bench.py"), "--n", "1280", "--skip-baseline"],
         capture_output=True,
         text=True,
         timeout=600,

@@ -106,7 +106,10 @@ def priced_fits():
 
 def test_quantiles_monotone_and_interval_coverage(priced_fits) -> None:
     model, _, _, (X_test, y_test) = priced_fits
-    quantiles = (0.05, 0.1, 0.25, 0.5, 0.75, 0.9, 0.95)
+    # 5 quantiles, not 7: the exact-LP cost grows superlinearly in the quantile
+    # count ((|q|-1)·4+1 coherence-buffered levels) and this was the suite's single
+    # slowest test; monotonicity across 5 levels exercises the same property.
+    quantiles = (0.05, 0.25, 0.5, 0.75, 0.95)
     yq = model.predict_quantiles(X_test, quantiles=quantiles)
     assert yq.shape == (len(X_test), len(quantiles))
     assert np.all(np.diff(yq, axis=1) >= -1e-9)
