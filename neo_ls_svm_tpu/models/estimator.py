@@ -396,10 +396,13 @@ class NeoLSSVM(BaseEstimator):
         # mesh="auto" builds the ("data", "feature") mesh over every visible device,
         # so scale-out does not require hand-constructing jax.sharding.Mesh objects
         # (VERDICT r3 #7). A concrete Mesh passes through; None keeps single-chip.
+        # With a single visible device "auto" resolves to None: the single-chip
+        # route is strictly better there (narrow-wire transfer modes, no GSPMD
+        # staging), and "auto" means best-available, not mesh-at-any-cost.
         if self.mesh == "auto":
             from neo_ls_svm_tpu.parallel.mesh import make_mesh  # noqa: PLC0415
 
-            self.mesh_: Any = make_mesh()
+            self.mesh_: Any = make_mesh() if len(jax.devices()) > 1 else None
         elif self.mesh is None or isinstance(self.mesh, jax.sharding.Mesh):
             self.mesh_ = self.mesh
         else:

@@ -293,3 +293,22 @@ def test_invalid_mesh_value_raises() -> None:
     X, y = make_regression_dataset(n=1500, seed=48)
     with pytest.raises(ValueError, match="mesh"):
         NeoLSSVM(mesh="all-devices").fit(X, y)
+
+
+def test_mesh_auto_single_device_falls_back_to_single_chip(
+    monkeypatch: pytest.MonkeyPatch,
+) -> None:
+    """mesh='auto' with one visible device resolves to the single-chip route
+    (mesh_=None): 'auto' means best-available, and single-chip keeps the
+    narrow-wire transfer lanes a degenerate 1-chip mesh would forbid."""
+    import jax
+
+    import neo_ls_svm_tpu.models.estimator as est_mod
+    from neo_ls_svm_tpu import NeoLSSVM
+
+    X, y = make_regression_dataset(n=1500, seed=49)
+    one_device = jax.devices()[:1]
+    monkeypatch.setattr(est_mod.jax, "devices", lambda *a: one_device)
+    model = NeoLSSVM(mesh="auto").fit(X, y)
+    assert model.mesh_ is None
+    assert model.score(X, y) > 0.5
