@@ -45,6 +45,14 @@ WATCHDOG_S = float(os.environ.get("BENCH_WATCHDOG_S", "3300"))
 _WATCHDOG = {"done": False, "stage": "start", "partial": {}}
 
 
+def _write_extras(payload: dict) -> None:
+    """Persist the side file; failure paths overwrite it too, so a stale matrix
+    from an earlier run can never masquerade as this run's evidence."""
+    os.makedirs(os.path.dirname(EXTRA_PATH), exist_ok=True)
+    with open(EXTRA_PATH, "w") as fh:
+        json.dump(payload, fh, indent=1)
+
+
 def _watchdog_fire(timeout_s: float) -> None:
     time.sleep(timeout_s)
     if _WATCHDOG["done"]:
@@ -56,6 +64,10 @@ def _watchdog_fire(timeout_s: float) -> None:
         "hung_at": _WATCHDOG["stage"],
         "watchdog_s": timeout_s,
     }
+    try:
+        _write_extras({"headline": headline, "extra_metrics": []})
+    except Exception:
+        pass
     line = json.dumps(headline, separators=(",", ":"))[:1900]
     print(f"[bench] WATCHDOG: no completion after {timeout_s:.0f}s; stage "
           f"{_WATCHDOG['stage']!r}; emitting partial headline", file=sys.stderr)
@@ -651,10 +663,7 @@ def main() -> None:
     }
     # Full lane matrix → side file + stderr; the size-bounded headline alone →
     # stdout, as the LAST line, so driver tail-truncation can never eat it.
-    full_payload = {"headline": headline, "extra_metrics": extra_metrics}
-    os.makedirs(os.path.dirname(EXTRA_PATH), exist_ok=True)
-    with open(EXTRA_PATH, "w") as fh:
-        json.dump(full_payload, fh, indent=1)
+    _write_extras({"headline": headline, "extra_metrics": extra_metrics})
     print(f"[bench] extras: {json.dumps(extra_metrics)}", file=sys.stderr)
     line = json.dumps(headline, separators=(",", ":"))
     assert len(line) < 1900, f"headline line must fit the driver tail ({len(line)} chars)"
@@ -681,6 +690,10 @@ def _main_with_headline_guard() -> None:
             "error": f"{type(exc).__name__}: {exc}"[:400],
             "failed_at": _WATCHDOG["stage"],
         }
+        try:
+            _write_extras({"headline": headline, "extra_metrics": []})
+        except Exception:
+            pass
         print(json.dumps(headline, separators=(",", ":"))[:1900], flush=True)
         raise SystemExit(1) from exc
 
