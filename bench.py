@@ -675,10 +675,36 @@ def _main_with_headline_guard() -> None:
     """Run main(); on a fatal error (e.g. 'Unable to initialize backend: UNAVAILABLE'
     when the tunnel is down — observed as a ~25-min block then a hard failure) still
     emit a parseable stdout headline recording the failure and the stage reached,
-    instead of a bare traceback the driver cannot parse."""
+    instead of a bare traceback the driver cannot parse. A driver-sent SIGTERM is
+    routed through the same path (the handler fires between Python bytecodes, so it
+    covers slow-but-alive runs; true native hangs are the watchdog's job)."""
+    import signal
+
+    def _on_sigterm(signum, frame):  # pragma: no cover - driver-kill path
+        # SystemExit (not RuntimeError): the per-lane `except Exception` resilience
+        # guards must NOT swallow a kill signal and keep benching.
+        raise SystemExit(143)
+
+    try:
+        signal.signal(signal.SIGTERM, _on_sigterm)
+    except (ValueError, OSError):
+        pass  # non-main thread / restricted env: keep default behavior
     try:
         main()
-    except SystemExit:
+    except SystemExit as exc:
+        if exc.code in (0, None):
+            raise
+        headline = {
+            "metric": "fit_wallclock_synthetic_rbf",
+            **_WATCHDOG["partial"],
+            "error": f"SystemExit: {exc.code} (SIGTERM / driver timeout?)",
+            "failed_at": _WATCHDOG["stage"],
+        }
+        try:
+            _write_extras({"headline": headline, "extra_metrics": []})
+        except Exception:
+            pass
+        print(json.dumps(headline, separators=(",", ":"))[:1900], flush=True)
         raise
     except BaseException as exc:
         import traceback
