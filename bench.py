@@ -565,25 +565,33 @@ def main() -> None:
                 {"metric": f"quantile_serving_device_resident_n{n}", "error": str(exc)}
             )
         try:
-            # Conformal first-call latency: a fresh quantile tuple forces the two
-            # level-1 CQR LP fits, which now run concurrently (_fit_conformal_pair);
-            # warm minus first isolates the LP-fit share.
+            # Conformal first-call latency. The very first predict_quantiles call
+            # compiles the fused ŷ+σ serving programs (a one-off, tunnel-expensive);
+            # a fresh quantile tuple on a WARM program cache forces only the two
+            # level-1 CQR LP fits (which run concurrently, _fit_conformal_pair), so
+            # cold→fresh→warm isolates compile / LP-fit / steady-state shares.
             t0 = time.perf_counter()
             model.predict_quantiles(X[:1024], quantiles=(0.05, 0.5, 0.95))
-            first_s = time.perf_counter() - t0
+            cold_s = time.perf_counter() - t0
             t0 = time.perf_counter()
-            model.predict_quantiles(X[:1024], quantiles=(0.05, 0.5, 0.95))
+            model.predict_quantiles(X[:1024], quantiles=(0.1, 0.5, 0.9))
+            fresh_tuple_s = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            model.predict_quantiles(X[:1024], quantiles=(0.1, 0.5, 0.9))
             warm_s = time.perf_counter() - t0
             extra_metrics.append(
                 {
                     "metric": f"conformal_first_call_n{n}",
-                    "first_s": round(first_s, 4),
+                    "cold_s": round(cold_s, 4),
+                    "fresh_tuple_s": round(fresh_tuple_s, 4),
                     "warm_s": round(warm_s, 4),
-                    "lp_fit_share_s": round(max(first_s - warm_s, 0.0), 4),
+                    "lp_fit_share_s": round(max(fresh_tuple_s - warm_s, 0.0), 4),
+                    "compile_share_s": round(max(cold_s - fresh_tuple_s, 0.0), 4),
                 }
             )
             print(
-                f"[bench] conformal first call: {first_s:.3f}s (warm {warm_s:.3f}s)",
+                f"[bench] conformal first call: cold {cold_s:.3f}s, fresh tuple "
+                f"{fresh_tuple_s:.3f}s, warm {warm_s:.3f}s",
                 file=sys.stderr,
             )
         except Exception as exc:  # pragma: no cover - lane resilience
