@@ -192,3 +192,70 @@ def test_smooth_without_intercept_matches_objective() -> None:
     pin_e = _pinball(y, X @ beta_e, quantiles)
     assert np.all(np.isfinite(beta_s))
     assert pin_s <= pin_e * 1.005
+
+
+def test_exact_lp_decomposition_matches_coupled_lp() -> None:
+    """The monotone block decomposition must reach the one-shot coupled LP's optimum.
+
+    On conformal-shaped designs the per-quantile optima are already monotone, so the
+    decomposed path returns without any block merge; its concatenated solution attains
+    the coupled LP's relaxation lower bound and is therefore a global optimum too.
+    """
+    import neo_ls_svm_tpu.models.cqr as cqr_mod
+
+    X, y = _make_cqr_problem(n=800, seed=7)
+    quantiles = np.asarray((0.025, 0.1, 0.5, 0.9, 0.975))
+    diag_fast: dict = {}
+    beta_fast, beta_full_fast = coherent_linear_quantile_regression(
+        X, y, quantiles=quantiles, method="exact", diagnostics=diag_fast
+    )
+    try:
+        cqr_mod._LP_DECOMPOSITION = False
+        beta_ref, beta_full_ref = coherent_linear_quantile_regression(
+            X, y, quantiles=quantiles, method="exact"
+        )
+    finally:
+        cqr_mod._LP_DECOMPOSITION = True
+    pin_fast = _pinball(y, X @ beta_full_fast, np.linspace(0.01, 0.99, beta_full_fast.shape[1]))
+    pin_ref = _pinball(y, X @ beta_full_ref, np.linspace(0.01, 0.99, beta_full_ref.shape[1]))
+    # Identical optimum (the pinball quantile grid above is only a shared yardstick).
+    assert pin_fast <= pin_ref * (1 + 1e-9)
+    scale = np.std(y)
+    assert np.max(np.abs(X @ (beta_fast - beta_ref))) < 1e-6 * scale
+    # The decomposition reports its final partition; merges are rare on conformal
+    # designs but legal — correctness never depends on the hit rate.
+    assert 1 <= diag_fast["lp_blocks"] <= beta_full_fast.shape[1]
+    assert diag_fast["lp_merge_rounds"] >= 0
+
+
+def test_exact_lp_decomposition_merges_crossing_blocks() -> None:
+    """When independent per-quantile planes cross, the PAV-style merge must kick in
+    and the merged solution must (a) be monotone on the training rows and (b) still
+    match the coupled LP optimum."""
+    import neo_ls_svm_tpu.models.cqr as cqr_mod
+
+    # Heteroscedastic two-cluster design engineered so independent quantile planes
+    # tilt differently and cross inside the data range.
+    gen = np.random.RandomState(11)
+    n = 600
+    x = np.concatenate([gen.uniform(-2, -1, n // 2), gen.uniform(1, 2, n - n // 2)])
+    noise = np.where(x < 0, 0.1, 2.0) * gen.standard_cauchy(n).clip(-5, 5)
+    y = 0.5 * x + noise
+    X = np.column_stack([x, np.ones(n)])
+    quantiles = np.asarray((0.2, 0.4, 0.6, 0.8))
+    diag: dict = {}
+    beta, beta_full = coherent_linear_quantile_regression(
+        X, y, quantiles=quantiles, method="exact", coherence_buffer=0, diagnostics=diag
+    )
+    pred = X @ beta_full
+    assert np.all(np.diff(pred, axis=1) >= -1e-9)
+    try:
+        cqr_mod._LP_DECOMPOSITION = False
+        _, beta_full_ref = coherent_linear_quantile_regression(
+            X, y, quantiles=quantiles, method="exact", coherence_buffer=0
+        )
+    finally:
+        cqr_mod._LP_DECOMPOSITION = True
+    pin_fast = _pinball(y, X @ beta_full, quantiles)
+    pin_ref = _pinball(y, X @ beta_full_ref, quantiles)
+    assert pin_fast <= pin_ref * (1 + 1e-7)
