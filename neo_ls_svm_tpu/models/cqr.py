@@ -26,6 +26,8 @@ Two solver paths, selected by ``method``:
 ``intercept_clip`` semantics are reproduced exactly (ref ``:257-272``).
 """
 
+import os
+from concurrent.futures import ThreadPoolExecutor
 from functools import partial
 from typing import Any
 
@@ -200,8 +202,15 @@ def _solve_exact_lp(
         alpha_block = alpha * Q / (hi - lo)
         betas[block] = _solve_coupled_lp(X, y, quantiles_full[lo:hi], s, alpha_block)
 
-    for block in blocks:
-        solve_block(block)
+    # HiGHS releases the GIL during the solve, so the independent per-quantile LPs
+    # parallelise across host cores (a no-op on 1-core hosts, ~min(Q, cores)× there).
+    workers = min(Q, os.cpu_count() or 1)
+    if workers > 1:
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            list(pool.map(solve_block, blocks))
+    else:
+        for block in blocks:
+            solve_block(block)
     merge_rounds = 0
     Xd = X.astype(np.float64)
     while True:
