@@ -2,7 +2,7 @@
 
 import numpy as np
 import pytest
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 
 from neo_ls_svm_tpu.ops.quantizer import Quantizer, hist_quantized_ecdf
 from neo_ls_svm_tpu.ops.weighted_quantile import weighted_quantile
@@ -27,6 +27,13 @@ def test_weighted_quantile_bounds_and_uniform_limit(values, q) -> None:
 
 
 @settings(max_examples=25, deadline=None)
+@example(
+    # Round-4 regression: a 160-element subnormal-tail input where the reference's
+    # TODO-acknowledged merge-branch bug (/root/reference/src/neo_ls_svm/_quantizer.py:159)
+    # drops 3 counts. Both implementations must agree bit-for-bit; an absolute drift
+    # constant is the wrong gate because the reference itself violates any fixed bound.
+    values=[0.0] * 120 + [-(2.0**-e) for e in range(983, 1023)],
+)
 @given(st.lists(finite_floats, min_size=40, max_size=2000))
 def test_hist_quantized_ecdf_invariants(values) -> None:
     x = np.asarray(values)
@@ -35,10 +42,18 @@ def test_hist_quantized_ecdf_invariants(values) -> None:
     # Edges are sorted and span the data.
     assert np.all(np.diff(edges) >= 0)
     assert edges[0] <= x.min() and edges[-1] >= x.max()
-    # Counts are nonnegative and near-complete (the reference's merge branch may be
-    # off by one or two — parity-preserved behaviour).
     assert np.all(np.asarray(hist) >= 0)
-    assert abs(int(np.sum(hist)) - len(x)) <= 2
+    # Count completeness is gated on PARITY with the actual reference, not an absolute
+    # constant: the reference's merge branch has a known count-drift bug (its own TODO,
+    # _quantizer.py:159), so the contract is "drift no worse than the reference's".
+    from .reference_shim import import_reference
+
+    import_reference()
+    from neo_ls_svm._quantizer import hist_quantized_ecdf as ref_hist_quantized_ecdf
+
+    ref_hist, ref_edges = ref_hist_quantized_ecdf(x, density=False)
+    np.testing.assert_array_equal(np.asarray(hist), np.asarray(ref_hist))
+    np.testing.assert_allclose(np.asarray(edges), np.asarray(ref_edges), rtol=0, atol=0)
 
 
 @settings(max_examples=25, deadline=None)
