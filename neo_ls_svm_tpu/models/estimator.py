@@ -89,6 +89,39 @@ LAZY_MATERIALIZE_MIN_ROWS = 65_536  # Below this, fit pulls the host copy eagerl
 # cheap and lossless f32 is strictly better.
 AUTO_DEVICE_PT_MIN_BYTES = 32 * 1024**2
 AUTO_INT8_MIN_BYTES = 100 * 1024**2
+# Score budget for lossy auto wire narrowing (VERDICT r4 #4): transfer="auto" may
+# only pick int8 when the PREDICTED LOO-R² cost of per-column 8-bit quantisation is
+# below this. Explicit transfer="int8" remains an unbounded user choice.
+INT8_SCORE_BUDGET = 0.005
+# Calibration of the predicted cost model (see _estimate_int8_score_cost): the
+# recorded 1M×32 Gaussian bench A/B measured ΔLOO-R² = 0.0184 (f32 0.7533 → int8
+# 0.7349) at worst-column step/σ ratio r = max|x|/(127·σ) ≈ 0.039 → κ = Δ/r² ≈ 12.
+_INT8_COST_COEFF = 12.0
+_INT8_STATS_SAMPLE_ROWS = 65536
+
+
+def _estimate_int8_score_cost(X: npt.NDArray) -> float:
+    """Predicted LOO-R² cost of the int8 wire mode, from column dynamic range.
+
+    Symmetric per-column quantisation has step Δ_c = max|x_c|/127; its damage is
+    governed by the worst column's step-to-spread ratio r = max_c Δ_c/σ_c (binning
+    and normalisation are per-column, so one heavy-tailed column is enough to flip
+    bin assignments). The cost model ĉ = κ·r² is calibrated on the recorded 1M
+    bench A/B (κ = :data:`_INT8_COST_COEFF`). Gaussian columns (max|x| ≈ 4-5σ at
+    n ≥ 1e5) land at ĉ ≈ 0.01-0.02 — over budget, routed to bfloat16 — while
+    bounded/low-kurtosis columns (max|x| ≈ √3σ uniform) land at ĉ ≈ 0.002 and keep
+    the quarter-width wire. Statistics come from a strided row subsample (≤
+    :data:`_INT8_STATS_SAMPLE_ROWS` rows), so the estimate is O(sample·d) host work.
+    """
+    n = X.shape[0]
+    step = max(1, -(-n // _INT8_STATS_SAMPLE_ROWS))
+    rows = np.asarray(X[::step], dtype=np.float64)
+    amax = np.max(np.abs(rows), axis=0)
+    sigma = np.std(rows, axis=0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ratio = np.where(sigma > 0, (amax / 127.0) / sigma, 0.0)
+    r = float(np.max(ratio)) if ratio.size else 0.0
+    return _INT8_COST_COEFF * r * r
 
 
 def _resolve_fit_plan(
@@ -98,6 +131,7 @@ def _resolve_fit_plan(
     payload_bytes: int,
     device_pt_eligible: bool,
     tunneled: bool,
+    int8_score_cost: float | None = None,
 ) -> tuple[str, str]:
     """Resolve ``pre_transform="auto"`` / ``transfer="auto"`` to concrete modes.
 
@@ -110,9 +144,15 @@ def _resolve_fit_plan(
       ``"host"`` path.
     - ``transfer="auto"`` → a narrow wire only for device-pre-transform fits whose
       upload rides the tunneled backend: ``"int8"`` above
-      :data:`AUTO_INT8_MIN_BYTES` (wire share dominates), ``"bfloat16"`` below it
-      (the int8 host quantisation pass costs more than the saved bytes); lossless
-      ``"float32"`` everywhere else.
+      :data:`AUTO_INT8_MIN_BYTES` (wire share dominates) **and only when the
+      predicted LOO-R² cost of quantisation is within**
+      :data:`INT8_SCORE_BUDGET` (``int8_score_cost``, estimated from column
+      dynamic-range statistics — see :func:`_estimate_int8_score_cost`);
+      ``"bfloat16"`` otherwise (its ~0.2%-of-value rounding measured ≈0.004
+      LOO-R² on the 1M bench, within budget); lossless ``"float32"`` everywhere
+      else. Auto may therefore trade accuracy for wall-clock only inside a stated,
+      tested budget — int8's unbounded tail risk is opt-in via an explicit
+      ``transfer="int8"``.
 
     Explicit values pass through untouched — ``pre_transform="host"`` remains the
     documented bit-parity escape hatch.
@@ -127,7 +167,14 @@ def _resolve_fit_plan(
     resolved_tr = transfer
     if transfer == "auto":
         if resolved_pt == "device" and device_pt_eligible and tunneled:
-            resolved_tr = "int8" if payload_bytes >= AUTO_INT8_MIN_BYTES else "bfloat16"
+            int8_within_budget = (
+                int8_score_cost is not None and int8_score_cost < INT8_SCORE_BUDGET
+            )
+            resolved_tr = (
+                "int8"
+                if payload_bytes >= AUTO_INT8_MIN_BYTES and int8_within_budget
+                else "bfloat16"
+            )
         else:
             resolved_tr = "float32"
     return resolved_pt, resolved_tr
@@ -317,8 +364,27 @@ class NeoLSSVM(BaseEstimator):
         sample_weight: "FloatVector | pd.Series | None" = None,
     ) -> "NeoLSSVM":
         """Fit this predictor."""
-        X, y = check_X_y(X, y, dtype=(np.float64, np.float32), ensure_min_samples=2)
-        y = np.ravel(np.asarray(y))
+        # Device-resident ingestion (VERDICT r4 #2): a ``jax.Array`` X never takes the
+        # device→host→device round-trip (the worst possible pattern on a ~100 ms
+        # tunnel). Validation is metadata-only (the serving contract of
+        # :meth:`_validate_device_X`); the O(n) target/weight vectors are pulled once
+        # so the host-side routing/label logic is unchanged. JAX-native pipelines
+        # therefore feed ``fit`` → ``predict`` without X ever leaving the chip.
+        X_on_device = isinstance(X, jax.Array) and not isinstance(X, np.ndarray)
+        if X_on_device:
+            X = self._validate_fit_device_X(X)
+            if isinstance(y, jax.Array) or isinstance(sample_weight, jax.Array):
+                y, sample_weight = jax.device_get((y, sample_weight))
+            y = np.ravel(np.asarray(y))
+            if y.shape[0] != X.shape[0]:
+                msg = (
+                    "Found input variables with inconsistent numbers of samples: "
+                    f"[{X.shape[0]}, {y.shape[0]}]"
+                )
+                raise ValueError(msg)
+        else:
+            X, y = check_X_y(X, y, dtype=(np.float64, np.float32), ensure_min_samples=2)
+            y = np.ravel(np.asarray(y))
         self.n_features_in_ = X.shape[1]
         self.y_dtype_: npt.DTypeLike = y.dtype
         sample_weight_ = (
@@ -345,6 +411,12 @@ class NeoLSSVM(BaseEstimator):
                 f"conformal_method must be 'exact' (host HiGHS LP, reference-grade "
                 f"optimum) or 'smooth' (batched on-device Newton), "
                 f"got {self.conformal_method!r}."
+            )
+            raise ValueError(msg)
+        if X_on_device and self.transfer not in ("auto", "float32"):
+            msg = (
+                f"transfer={self.transfer!r} narrows the host→device upload, but X is "
+                "already device-resident — there is no upload to narrow."
             )
             raise ValueError(msg)
         if self.transfer not in ("auto", "float32") and self.pre_transform == "host":
@@ -411,6 +483,13 @@ class NeoLSSVM(BaseEstimator):
         # Primal vs dual routing (ref :375).
         self.dual_ = X.shape[0] <= DUAL_THRESHOLD if self.dual == "auto" else self.dual
         self.primal_ = not self.dual_
+        if X_on_device and (self.dual_ or self.pre_transform == "host"):
+            # These paths run the host pre-transform (the dual solver's feature map,
+            # or an explicitly requested bit-parity "host" pre-transform), which needs
+            # host X: one explicit pull, cheap for the dual (n ≤ 1024) and the
+            # documented cost of opting out of the device route.
+            X = np.asarray(jax.device_get(X))
+            X_on_device = False
         if self.primal_:
             self.primal_feature_map_ = clone(
                 OrthogonalRandomFourierFeatures()
@@ -429,16 +508,6 @@ class NeoLSSVM(BaseEstimator):
                 if self.mesh_ is not None
                 else ("streaming" if working_set_bytes > STREAMING_BYTES_THRESHOLD else "inmemory")
             )
-            row_pad = col_pad = 0
-            X_dev = None
-            X_p = X
-            if route == "streaming":
-                row_pad = (-n_rows) % STREAMING_ROW_CHUNK
-                X_p = np.vstack([X, np.zeros((row_pad, X.shape[1]), X.dtype)]) if row_pad else X
-            elif route == "inmemory":
-                nb, db = _bucket_rows(n_rows), _bucket_features(X.shape[1])
-                row_pad, col_pad = nb - n_rows, db - X.shape[1]
-                X_p = np.pad(X, ((0, row_pad), (0, col_pad)))
             # Opt-in fully on-device pre-transform: binning, normalizer statistics,
             # the separator, and the ORFF draw run as one jitted program with JAX RNG
             # — zero mid-fit host round-trips (the host path below is the bit-parity
@@ -453,14 +522,60 @@ class NeoLSSVM(BaseEstimator):
                 and type(self.primal_feature_map_).complexity_matrix
                 is RandomFourierFeatures.complexity_matrix
             )
+            if X_on_device and not device_pt_eligible:
+                # A custom feature map needs the host pre-transform — one explicit
+                # pull is the only way to honour it.
+                X = np.asarray(jax.device_get(X))
+                X_on_device = False
+            row_pad = col_pad = 0
+            X_dev = None
+            X_p = X
+            if route == "streaming":
+                row_pad = (-n_rows) % STREAMING_ROW_CHUNK
+                if not row_pad:
+                    X_p = X
+                elif X_on_device:
+                    X_p = jnp.pad(X, ((0, row_pad), (0, 0)))  # pad on device, no host hop
+                else:
+                    X_p = np.vstack([X, np.zeros((row_pad, X.shape[1]), X.dtype)])
+            elif route == "inmemory":
+                nb, db = _bucket_rows(n_rows), _bucket_features(X.shape[1])
+                row_pad, col_pad = nb - n_rows, db - X.shape[1]
+                if X_on_device:
+                    X_p = (
+                        jnp.pad(X, ((0, row_pad), (0, col_pad)))
+                        if row_pad or col_pad
+                        else X
+                    )
+                else:
+                    X_p = np.pad(X, ((0, row_pad), (0, col_pad)))
+            payload_bytes = n_rows * X.shape[1] * np.dtype(X.dtype).itemsize
+            # The narrow-wire modes target the single-chip tunneled topology;
+            # mesh fits stage rows sharded at full precision, and a
+            # device-resident X crosses no wire at all.
+            tunneled = _is_tunneled_backend() and route != "mesh" and not X_on_device
+            # Score-aware wire narrowing: predict the int8 quantisation cost from a
+            # row subsample ONLY when the decision is actually live (auto transfer,
+            # tunneled wire, payload at the int8 crossover) — it is an O(sample·d)
+            # host pass, not something every fit should pay.
+            int8_cost = None
+            if (
+                self.transfer == "auto"
+                and self.pre_transform != "host"
+                and tunneled
+                and device_pt_eligible
+                and payload_bytes >= AUTO_INT8_MIN_BYTES
+            ):
+                int8_cost = _estimate_int8_score_cost(X)
             self.pre_transform_, self.transfer_ = _resolve_fit_plan(
-                self.pre_transform,
+                # A device-resident X forces the device pre-transform (eligibility
+                # was settled above; the host path would cost the pull it avoids).
+                "device" if X_on_device else self.pre_transform,
                 self.transfer,
-                payload_bytes=n_rows * X.shape[1] * np.dtype(X.dtype).itemsize,
+                payload_bytes=payload_bytes,
                 device_pt_eligible=device_pt_eligible,
-                # The narrow-wire modes target the single-chip tunneled topology;
-                # mesh fits stage rows sharded at full precision.
-                tunneled=_is_tunneled_backend() and route != "mesh",
+                tunneled=tunneled,
+                int8_score_cost=int8_cost,
             )
             use_device_pt = self.pre_transform_ == "device" and device_pt_eligible
             # pre_transform_ records the route ACTUALLY taken: an explicit
@@ -784,7 +899,13 @@ class NeoLSSVM(BaseEstimator):
         # ~100 ms of tunnel latency, so the call count only grows where pipelining
         # buys it back.
         small_put = (y_p, s_p, self.γs_) if quant_scale is None else (y_p, s_p, self.γs_, quant_scale)
-        if will_stage(X_p, cast_dtype):
+        if isinstance(X_p, jax.Array) and not isinstance(X_p, np.ndarray):
+            # Device-resident ingestion: X never crossed the host, so only the O(n)
+            # vectors ride one batched put (transfer_ is "float32" by construction —
+            # there is no wire to narrow).
+            X_dev = X_p
+            small_dev = list(jax.device_put(small_put))
+        elif will_stage(X_p, cast_dtype):
             X_dev = staged_device_put(X_p, cast_dtype=cast_dtype, cast_fn=cast_fn)
             small_dev = jax.device_put(small_put)
         else:
@@ -1107,6 +1228,40 @@ class NeoLSSVM(BaseEstimator):
             return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
         host_parts = jax.device_get(parts)
         return host_parts[0] if len(host_parts) == 1 else np.concatenate(host_parts)
+
+    def _validate_fit_device_X(self, X: jax.Array) -> jax.Array:
+        """Metadata-only validation of a device-resident training X.
+
+        The fit-time counterpart of :meth:`_validate_device_X`: shape and dtype come
+        from array metadata, and the NaN/inf scan is skipped — a host-side finiteness
+        reduction would cost exactly the device→host round-trip the device-ingestion
+        path exists to avoid (the caller's pipeline owns its data hygiene). Matches
+        ``check_X_y``'s dtype policy: f32/f64 pass through, everything else widens to
+        f64 (ref fit validation, ``_neo_ls_svm.py:327-341``).
+        """
+        if X.ndim != 2:
+            msg = f"Expected 2D array, got {X.ndim}D device array instead."
+            raise ValueError(msg)
+        if X.shape[0] < 2:
+            msg = (
+                f"Found array with {X.shape[0]} sample(s) while a minimum of 2 "
+                "is required."
+            )
+            raise ValueError(msg)
+        if X.shape[1] < 1:
+            msg = (
+                f"Found array with 0 feature(s) (shape={X.shape}) while a minimum "
+                "of 1 is required."
+            )
+            raise ValueError(msg)
+        if jnp.issubdtype(X.dtype, jnp.complexfloating):
+            msg = "Complex data not supported."
+            raise ValueError(msg)
+        if X.dtype not in (jnp.dtype("float32"), jnp.dtype("float64")):
+            X = X.astype(
+                jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
+            )
+        return X
 
     def _validate_device_X(self, X: jax.Array) -> jax.Array:
         """Metadata-only validation for device-resident inputs.

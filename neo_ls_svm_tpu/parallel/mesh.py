@@ -63,8 +63,11 @@ def _stage_rows(mesh: Mesh, arr: Any, spec: P, mult: int) -> jax.Array:
     padded; re-sharding an identically-sharded array is a no-op)."""
     if isinstance(arr, jax.Array):
         if arr.shape[0] % mult:
-            msg = f"pre-staged array rows ({arr.shape[0]}) must be a multiple of {mult}."
-            raise ValueError(msg)
+            # Device-resident inputs pad on device (zero rows are inert: their
+            # weights are zero-padded in lockstep) — never via a host hop.
+            pad = mult - arr.shape[0] % mult
+            pad_width = ((0, pad),) + ((0, 0),) * (arr.ndim - 1)
+            arr = jnp.pad(arr, pad_width)
         return jax.device_put(arr, NamedSharding(mesh, spec))
     return jax.device_put(_pad_rows(np.asarray(arr), mult), NamedSharding(mesh, spec))
 
