@@ -36,6 +36,17 @@ class DataConversionWarning(_DataConversionWarningBase):
     """Warned when the input data's shape or dtype is silently converted."""
 
 
+def _check_n_features(estimator: Any, X: "npt.NDArray") -> "npt.NDArray":
+    """Raise sklearn's message when X's width disagrees with the fitted width."""
+    if X.shape[1] != estimator.n_features_in_:
+        msg = (
+            f"X has {X.shape[1]} features, but {type(estimator).__name__} is expecting "
+            f"{estimator.n_features_in_} features as input."
+        )
+        raise ValueError(msg)
+    return X
+
+
 def is_pandas(obj: Any) -> bool:
     """True when ``obj`` quacks like a pandas DataFrame (the predicate every
     predict-family method uses to decide pandas-out)."""
