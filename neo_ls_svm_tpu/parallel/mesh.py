@@ -9,9 +9,15 @@ the TPU build adds is row-sharded data parallelism over an ICI mesh:
 * the tiny 2M×2M eigh and γ-selection are replicated on every chip;
 * per-row outputs (LOO residuals, leverage, std) come back row-sharded.
 
-No hand-written collectives: shardings are declared on the jit boundary and GSPMD
-inserts the all-reduces. A second ``feature`` mesh axis is available for the n×2M @
-2M×2M contractions at very large D.
+No hand-written collectives on the in-memory route: shardings are declared on the jit
+boundary and GSPMD inserts the all-reduces. The streaming route
+(:func:`sharded_primal_fit_streaming`) additionally implements tensor parallelism over
+the second ``feature`` mesh axis for the three O(n·(2M)²) contractions that dominate
+at large D: pass-1 Gram columns (one tiled ``all_gather`` reassembles the square
+before the replicated eigh), and the pass-2/pass-3 eigenbasis contractions (each
+feature-chip owns a block of eigenvector columns; num/lev partials ``psum`` over
+``feature`` before the nonlinear LOO step). ``make_mesh`` defaults to a 1-D data mesh;
+pass ``num_feature > 1`` to trade data-axis width for per-chip contraction width.
 """
 
 import math
@@ -309,15 +315,28 @@ def sharded_primal_fit_streaming(
     # argument would not match shard_map's in_specs pytree.
     C_d = None if C_emb is None else jnp.asarray(np.asarray(C_emb))
 
+    # Tensor parallelism over the "feature" axis: the three O(n·(2M)²) contractions
+    # (pass-1 Gram columns, pass-2 sweep, pass-3 stats) split the 2M eigen/column
+    # dimension across the axis. The eigh and Cholesky stay replicated (D³ is tiny).
+    num_feature = mesh.shape.get("feature", 1)
+    # Column/eigen padding so each feature-chip owns an equal block (zero-padded
+    # eigenvector columns give Gu = W@0 = 0 and padded k/r entries are 0, so the
+    # padded blocks contribute exactly nothing to any contraction).
+    gram_cols = -(-(M2 + 1) // num_feature) * num_feature
+    eig_cols = -(-M2 // num_feature) * num_feature
+
     # The Pallas kernels need their row blocks to tile the chip-local shard; fall
-    # back to the XLA scans when the chunking cannot provide that.
+    # back to the XLA scans when the chunking cannot provide that. They also fuse
+    # the nonlinear LOO step with the Gu contractions, so they cannot expose the
+    # pre-nonlinearity psum feature parallelism needs — feature-sharded fits take
+    # the XLA scans (per-chip compute is 1/num_feature of the kernel's anyway).
     def _pallas_block(cap: int) -> int | None:
         if row_chunk <= cap:
             return row_chunk
         return cap if row_chunk % cap == 0 else None
 
-    gram_block = _pallas_block(256) if use_pallas_gram else None
-    sweep_block = _pallas_block(128) if use_pallas_sweep else None
+    gram_block = _pallas_block(256) if use_pallas_gram and num_feature == 1 else None
+    sweep_block = _pallas_block(128) if use_pallas_sweep and num_feature == 1 else None
 
     def body(X_l, M_d, b_d, y_l, w_l, g_d):
         total_w = jax.lax.psum(jnp.sum(w_l), "data")
@@ -343,6 +362,37 @@ def sharded_primal_fit_streaming(
             )
             G_aug_k = jax.lax.psum(G_aug_local, "data")
             G, b_vec = w_basis_from_augmented(G_aug_k, D)
+        elif num_feature > 1:
+            # Feature-sharded pass 1: each feature-chip contracts the full row
+            # block against ITS column slice of Y (a (2M+1) × (2M+1)/F partial of
+            # the augmented Gram), then one tiled all_gather over "feature"
+            # reassembles the square before the replicated eigh. The W features
+            # are recomputed per feature-chip — chunk·d·D FLOPs against the
+            # chunk·(2M)²/F the slice saves, a ~d/(2M·F) overhead.
+            f_idx = jax.lax.axis_index("feature")
+            cols_g = gram_cols // num_feature
+            zero = jnp.zeros((), jnp.int32)
+            col0_g = (f_idx * cols_g).astype(jnp.int32)
+
+            def gram_step(acc, chunk):
+                X_b, y_b, s2_b = chunk
+                W_b = _features_real_pair(X_b, M_d, b_d, precision=precision)
+                Y_b = jnp.concatenate([W_b, y_b[:, None]], axis=1)
+                Y_pad = jnp.pad(Y_b, ((0, 0), (0, gram_cols - (M2 + 1))))
+                Y_loc = jax.lax.dynamic_slice(
+                    Y_pad, (zero, col0_g), (Y_b.shape[0], cols_g)
+                )
+                return acc + jnp.dot(Y_b.T * s2_b[None, :], Y_loc, precision=precision), None
+
+            G_cols_local, _ = jax.lax.scan(
+                gram_step, jnp.zeros((M2 + 1, cols_g), dtype), (Xc, yc, s2c)
+            )
+            G_cols = jax.lax.psum(G_cols_local, "data")
+            G_aug = jax.lax.all_gather(G_cols, "feature", axis=1, tiled=True)[
+                :, : M2 + 1
+            ]
+            G = G_aug[:M2, :M2]
+            b_vec = G_aug[:M2, M2]
         else:
 
             def gram_step(acc, chunk):
@@ -363,6 +413,27 @@ def sharded_primal_fit_streaming(
         )
         k = jnp.dot(Qs.T, b_vec, precision=precision)
         r_all = 1.0 / (g_d[None, :] + lam[:, None])
+        if num_feature > 1:
+            # Feature-sharded passes 2/3: each feature-chip owns a contiguous block
+            # of eigenvector columns (zero-padded to divide evenly — padded columns
+            # contribute exactly nothing, see above). The num/lev partials are
+            # psummed over "feature" BEFORE the nonlinear LOO residual forms.
+            f_idx = jax.lax.axis_index("feature")
+            cols_e = eig_cols // num_feature
+            zero_e = jnp.zeros((), jnp.int32)
+            col0_e = (f_idx * cols_e).astype(jnp.int32)
+            eig_pad = eig_cols - M2
+            Qs_loc = jax.lax.dynamic_slice(
+                jnp.pad(Qs, ((0, 0), (0, eig_pad))), (zero_e, col0_e), (M2, cols_e)
+            )
+            k_loc = jax.lax.dynamic_slice(jnp.pad(k, (0, eig_pad)), (col0_e,), (cols_e,))
+            r_loc = jax.lax.dynamic_slice(
+                jnp.pad(r_all, ((0, eig_pad), (0, 0))),
+                (col0_e, zero_e),
+                (cols_e, r_all.shape[1]),
+            )
+        else:
+            Qs_loc, k_loc, r_loc = Qs, k, r_all
 
         # Pass 2: local γ-sweep partials (fused Pallas kernel or XLA scan), then ONE
         # psum of the grid objective.
@@ -390,11 +461,14 @@ def sharded_primal_fit_streaming(
             def sweep_step(acc, chunk):
                 X_b, y_b, s_b, s2_b = chunk
                 W_b = _features_real_pair(X_b, M_d, b_d, precision=precision)
-                Gu_b = jnp.dot(W_b, Qs, precision=sweep_precision)
-                num = inv_c0 * jnp.dot(Gu_b * k[None, :], r_all, precision=sweep_precision)
+                Gu_b = jnp.dot(W_b, Qs_loc, precision=sweep_precision)
+                num = inv_c0 * jnp.dot(Gu_b * k_loc[None, :], r_loc, precision=sweep_precision)
                 lev = inv_c0 * s2_b[:, None] * jnp.dot(
-                    Gu_b * Gu_b, r_all, precision=sweep_precision
+                    Gu_b * Gu_b, r_loc, precision=sweep_precision
                 )
+                if num_feature > 1:
+                    num = jax.lax.psum(num, "feature")
+                    lev = jax.lax.psum(lev, "feature")
                 e = (num - y_b[:, None]) / (1.0 - lev)
                 e = _clip_classifier_residuals(e, y_b, is_classifier)
                 loo_err_b, obj_b = _sweep_objective(e, s_b, is_classifier)
@@ -421,13 +495,25 @@ def sharded_primal_fit_streaming(
         r_opt = (1.0 / (gamma_opt + lam))[:, None]
         kr_opt = (k * r_opt[:, 0])[:, None]
         beta_j = sign * beta_emb
+        if num_feature > 1:
+            r_opt_loc = jax.lax.dynamic_slice(
+                jnp.pad(r_opt, ((0, eig_pad), (0, 0))), (col0_e, zero_e), (cols_e, 1)
+            )
+            kr_opt_loc = jax.lax.dynamic_slice(
+                jnp.pad(kr_opt, ((0, eig_pad), (0, 0))), (col0_e, zero_e), (cols_e, 1)
+            )
+        else:
+            r_opt_loc, kr_opt_loc = r_opt, kr_opt
 
         def stats_step(_, chunk):
             X_b, y_b, s2_b = chunk
             W_b = _features_real_pair(X_b, M_d, b_d, precision=precision)
-            Gu_b = jnp.dot(W_b, Qs, precision=precision)
-            num = inv_c0 * jnp.dot(Gu_b, kr_opt, precision=precision)[:, 0]
-            sig2 = inv_c0 * jnp.dot(Gu_b * Gu_b, r_opt, precision=precision)[:, 0]
+            Gu_b = jnp.dot(W_b, Qs_loc, precision=precision)
+            num = inv_c0 * jnp.dot(Gu_b, kr_opt_loc, precision=precision)[:, 0]
+            sig2 = inv_c0 * jnp.dot(Gu_b * Gu_b, r_opt_loc, precision=precision)[:, 0]
+            if num_feature > 1:
+                num = jax.lax.psum(num, "feature")
+                sig2 = jax.lax.psum(sig2, "feature")
             lev = s2_b * sig2
             e_raw = (num - y_b) / (1.0 - lev)
             resid = jnp.dot(W_b, beta_j, precision=precision) - y_b

@@ -88,6 +88,65 @@ def test_sharded_streaming_fit_matches_single_device(mesh_shape) -> None:
     assert float(sharded["loo_score"]) == pytest.approx(float(single["loo_score"]), rel=1e-9)
 
 
+def test_sharded_streaming_feature_axis_partitions_contractions(monkeypatch) -> None:
+    """The ``feature`` mesh axis must actually partition the O(n·(2M)²) contractions
+    (VERDICT r4 #5): on a 2×4 mesh the traced program contains the pass-1 Gram
+    all_gather and the pass-2/3 num/lev psums over "feature", the per-chip eigen
+    block is 2M/4 wide (with zero-padding: D=64 → 2M+1=131 gram columns pad to 132),
+    and the result still matches the single-chip oracle."""
+    import jax.numpy as jnp
+
+    from neo_ls_svm_tpu.parallel import mesh as mesh_mod
+
+    X, y = make_regression_dataset(n=1504, seed=47)
+    s = np.ones_like(y)
+    fmap = OrthogonalRandomFourierFeatures(num_features=64).fit(X, y, s)
+    M_map, b_map = fmap.linear_map()
+    gammas = gamma_grid(np.float64)
+    single = primal_fit(
+        jnp.asarray(X),
+        jnp.asarray(M_map),
+        jnp.asarray(b_map),
+        jnp.asarray(y),
+        jnp.asarray(s),
+        jnp.asarray(gammas),
+        is_classifier=False,
+    )
+    feature_psums = []
+    feature_gathers = []
+    real_psum, real_all_gather = jax.lax.psum, jax.lax.all_gather
+
+    def spy_psum(x, axis_name, **kw):
+        if axis_name == "feature":
+            feature_psums.append(np.shape(x))
+        return real_psum(x, axis_name, **kw)
+
+    def spy_all_gather(x, axis_name, **kw):
+        if axis_name == "feature":
+            feature_gathers.append(np.shape(x))
+        return real_all_gather(x, axis_name, **kw)
+
+    monkeypatch.setattr(jax.lax, "psum", spy_psum)
+    monkeypatch.setattr(jax.lax, "all_gather", spy_all_gather)
+    mesh_mod._STREAMING_FIT_CACHE.clear()  # force a fresh trace under the spies
+    mesh = make_mesh(num_data=2, num_feature=4)
+    sharded = sharded_primal_fit_streaming(
+        mesh, X, M_map, b_map, y, s, gammas, is_classifier=False, row_chunk=94
+    )
+    # Pass-1 Gram columns reassemble with one all_gather of a (131, 33) block.
+    assert feature_gathers == [(131, 33)]
+    # Pass-2 sweep num+lev and pass-3 num+sig2 psum over "feature" (4 sites).
+    assert len(feature_psums) == 4
+    # The sweep partials are (row_chunk, |γ-grid|): the contraction really ran on
+    # the 2M/4-wide local eigen block before the collective.
+    assert feature_psums[0] == (94, gammas.shape[0])
+    assert float(sharded["gamma"]) == pytest.approx(float(single["gamma"]), rel=1e-12)
+    for key in ("loo_residuals", "beta_emb", "loo_std", "residuals", "loo_errors_gammas"):
+        np.testing.assert_allclose(
+            np.asarray(sharded[key]), np.asarray(single[key]), rtol=1e-6, atol=1e-12
+        )
+
+
 def test_sharded_streaming_pallas_matches_xla() -> None:
     """The per-chip fused Pallas kernels (interpreter mode on the CPU mesh) must
     reproduce the sharded XLA streaming fit — the sharded-route mirror of bench.py's
