@@ -8,4 +8,4 @@ calibrators, solvers) are importable from their submodules.
 from neo_ls_svm_tpu.models.estimator import NeoLSSVM
 
 __all__ = ["NeoLSSVM"]
-__version__ = "0.2.0"
+__version__ = "0.5.0"

@@ -76,107 +76,16 @@ PREDICT_CHUNK_ROWS = 1 << 20  # Chunk predictions beyond this many rows (bounds 
 # transient n×2M feature block on device).
 LAZY_MATERIALIZE_MIN_ROWS = 65_536  # Below this, fit pulls the host copy eagerly.
 
-# Auto-routing thresholds (VERDICT r3 #3: the default config should not leave the
-# fast lanes opt-in). Crossovers measured on this repo's tunneled v5e chip
-# (CLAUDE.md round-3 numbers): at 262k×32 f32 (32 MiB payload) the host and device
-# pre-transforms tie (~1 s, both tunnel-floored) and the narrow wire wins on a quiet
-# minute; at 1M×32 (128 MiB) the host prep costs 3-4 s that the device pre-transform
-# removes, and int8 beats bf16 (2.26 s vs 2.4-2.5 s) because the wire share dominates
-# the extra host quantisation pass. Auto therefore routes on the raw f32 payload
-# size (n·d·itemsize), not the row count, and only narrows the wire when the upload
-# actually rides the high-latency tunnel — on locally-attached backends the wire is
-# cheap and lossless f32 is strictly better.
-AUTO_DEVICE_PT_MIN_BYTES = 32 * 1024**2
-AUTO_INT8_MIN_BYTES = 100 * 1024**2
-# Score budget for lossy auto wire narrowing (VERDICT r4 #4): transfer="auto" may
-# only pick int8 when the PREDICTED LOO-R² cost of per-column 8-bit quantisation is
-# below this. Explicit transfer="int8" remains an unbounded user choice.
-INT8_SCORE_BUDGET = 0.005
-# Calibration of the predicted cost model (see _estimate_int8_score_cost): the
-# recorded 1M×32 Gaussian bench A/B measured ΔLOO-R² = 0.0184 (f32 0.7533 → int8
-# 0.7349) at worst-column step/σ ratio r = max|x|/(127·σ) ≈ 0.039 → κ = Δ/r² ≈ 12.
-_INT8_COST_COEFF = 12.0
-_INT8_STATS_SAMPLE_ROWS = 65536
-
-
-def _estimate_int8_score_cost(X: npt.NDArray) -> float:
-    """Predicted LOO-R² cost of the int8 wire mode, from column dynamic range.
-
-    Symmetric per-column quantisation has step Δ_c = max|x_c|/127; its damage is
-    governed by the worst column's step-to-spread ratio r = max_c Δ_c/σ_c (binning
-    and normalisation are per-column, so one heavy-tailed column is enough to flip
-    bin assignments). The cost model ĉ = κ·r² is calibrated on the recorded 1M
-    bench A/B (κ = :data:`_INT8_COST_COEFF`). Gaussian columns (max|x| ≈ 4-5σ at
-    n ≥ 1e5) land at ĉ ≈ 0.01-0.02 — over budget, routed to bfloat16 — while
-    bounded/low-kurtosis columns (max|x| ≈ √3σ uniform) land at ĉ ≈ 0.002 and keep
-    the quarter-width wire. Statistics come from a strided row subsample (≤
-    :data:`_INT8_STATS_SAMPLE_ROWS` rows), so the estimate is O(sample·d) host work.
-    """
-    n = X.shape[0]
-    step = max(1, -(-n // _INT8_STATS_SAMPLE_ROWS))
-    rows = np.asarray(X[::step], dtype=np.float64)
-    amax = np.max(np.abs(rows), axis=0)
-    sigma = np.std(rows, axis=0)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        ratio = np.where(sigma > 0, (amax / 127.0) / sigma, 0.0)
-    r = float(np.max(ratio)) if ratio.size else 0.0
-    return _INT8_COST_COEFF * r * r
-
-
-def _resolve_fit_plan(
-    pre_transform: str,
-    transfer: str,
-    *,
-    payload_bytes: int,
-    device_pt_eligible: bool,
-    tunneled: bool,
-    int8_score_cost: float | None = None,
-) -> tuple[str, str]:
-    """Resolve ``pre_transform="auto"`` / ``transfer="auto"`` to concrete modes.
-
-    Pure routing policy (unit-tested in ``tests/test_estimator.py``):
-
-    - ``pre_transform="auto"`` → ``"device"`` when the fit is eligible for the
-      on-device pre-transform (single-chip primal, random-Fourier map with the
-      identity complexity matrix) and the feature payload is large enough that the
-      host prep dominates (≥ :data:`AUTO_DEVICE_PT_MIN_BYTES`); else the bit-parity
-      ``"host"`` path.
-    - ``transfer="auto"`` → a narrow wire only for device-pre-transform fits whose
-      upload rides the tunneled backend: ``"int8"`` above
-      :data:`AUTO_INT8_MIN_BYTES` (wire share dominates) **and only when the
-      predicted LOO-R² cost of quantisation is within**
-      :data:`INT8_SCORE_BUDGET` (``int8_score_cost``, estimated from column
-      dynamic-range statistics — see :func:`_estimate_int8_score_cost`);
-      ``"bfloat16"`` otherwise (its ~0.2%-of-value rounding measured ≈0.004
-      LOO-R² on the 1M bench, within budget); lossless ``"float32"`` everywhere
-      else. Auto may therefore trade accuracy for wall-clock only inside a stated,
-      tested budget — int8's unbounded tail risk is opt-in via an explicit
-      ``transfer="int8"``.
-
-    Explicit values pass through untouched — ``pre_transform="host"`` remains the
-    documented bit-parity escape hatch.
-    """
-    resolved_pt = pre_transform
-    if pre_transform == "auto":
-        resolved_pt = (
-            "device"
-            if device_pt_eligible and payload_bytes >= AUTO_DEVICE_PT_MIN_BYTES
-            else "host"
-        )
-    resolved_tr = transfer
-    if transfer == "auto":
-        if resolved_pt == "device" and device_pt_eligible and tunneled:
-            int8_within_budget = (
-                int8_score_cost is not None and int8_score_cost < INT8_SCORE_BUDGET
-            )
-            resolved_tr = (
-                "int8"
-                if payload_bytes >= AUTO_INT8_MIN_BYTES and int8_within_budget
-                else "bfloat16"
-            )
-        else:
-            resolved_tr = "float32"
-    return resolved_pt, resolved_tr
+# Auto-routing policy (thresholds, int8 cost model, plan resolution) lives in
+# models/routing.py; re-exported here for back-compat with pre-0.5 imports.
+from . import routing
+from .routing import (  # noqa: F401  (re-exports)
+    AUTO_DEVICE_PT_MIN_BYTES,
+    AUTO_INT8_MIN_BYTES,
+    INT8_SCORE_BUDGET,
+    _estimate_int8_score_cost,
+    _resolve_fit_plan,
+)
 
 # Fitted attributes materialised lazily from the device-resident fit result (one
 # batched device→host transfer on first access; see NeoLSSVM.__getattr__).
@@ -512,7 +421,9 @@ class NeoLSSVM(ConformalMixin, BaseEstimator):
                 and self.pre_transform != "host"
                 and tunneled
                 and device_pt_eligible
-                and payload_bytes >= AUTO_INT8_MIN_BYTES
+                # Read through the module so tests patching routing's threshold
+                # steer this guard and _resolve_fit_plan identically.
+                and payload_bytes >= routing.AUTO_INT8_MIN_BYTES
             ):
                 int8_cost = _estimate_int8_score_cost(X)
             self.pre_transform_, self.transfer_ = _resolve_fit_plan(

@@ -10,6 +10,7 @@ import numpy as np
 import pytest
 
 import neo_ls_svm_tpu.models.estimator as est_mod
+import neo_ls_svm_tpu.models.routing as routing_mod
 from neo_ls_svm_tpu import NeoLSSVM
 from neo_ls_svm_tpu.models.estimator import (
     AUTO_DEVICE_PT_MIN_BYTES,
@@ -147,7 +148,7 @@ def test_default_small_fit_resolves_to_host_parity_path() -> None:
 
 
 def test_auto_routes_device_above_threshold(monkeypatch: pytest.MonkeyPatch) -> None:
-    monkeypatch.setattr(est_mod, "AUTO_DEVICE_PT_MIN_BYTES", 1024)
+    monkeypatch.setattr(routing_mod, "AUTO_DEVICE_PT_MIN_BYTES", 1024)
     X, y = _make_reg()
     model = NeoLSSVM().fit(X, y)
     assert model.pre_transform_ == "device"
@@ -156,13 +157,13 @@ def test_auto_routes_device_above_threshold(monkeypatch: pytest.MonkeyPatch) -> 
 
 
 def test_auto_narrows_wire_on_tunneled_backend(monkeypatch: pytest.MonkeyPatch) -> None:
-    monkeypatch.setattr(est_mod, "AUTO_DEVICE_PT_MIN_BYTES", 1024)
+    monkeypatch.setattr(routing_mod, "AUTO_DEVICE_PT_MIN_BYTES", 1024)
     monkeypatch.setattr(est_mod, "_is_tunneled_backend", lambda: True)
     X, y = _make_reg()
     model = NeoLSSVM().fit(X, y)
     assert (model.pre_transform_, model.transfer_) == ("device", "bfloat16")
     assert model.score(X, y) > 0.5
-    monkeypatch.setattr(est_mod, "AUTO_INT8_MIN_BYTES", 1024)
+    monkeypatch.setattr(routing_mod, "AUTO_INT8_MIN_BYTES", 1024)
     # Gaussian columns predict an over-budget int8 cost → auto stays bfloat16
     # even above the byte crossover (VERDICT r4 #4: accuracy-aware narrowing).
     model = NeoLSSVM().fit(X, y)
@@ -198,7 +199,7 @@ def test_resolved_plan_survives_state_dict_roundtrip(
         model_to_state_dict,
     )
 
-    monkeypatch.setattr(est_mod, "AUTO_DEVICE_PT_MIN_BYTES", 1024)
+    monkeypatch.setattr(routing_mod, "AUTO_DEVICE_PT_MIN_BYTES", 1024)
     X, y = _make_reg()
     model = NeoLSSVM().fit(X, y)
     restored = model_from_state_dict(model_to_state_dict(model))

@@ -8,6 +8,7 @@ the full lane matrix goes to benchmark/bench_extra.json.
 
 import json
 import os
+import pathlib
 import subprocess
 import sys
 
@@ -125,8 +126,10 @@ def test_bench_fatal_error_emits_error_headline(tmp_path) -> None:
 
 
 _ARTIFACT = os.path.join(REPO, "benchmark", "bench_extra.json")
+# pathlib read_bytes, not a bare open().read(): the leaked FileIO's GC-time
+# ResourceWarning would fail an arbitrary test under filterwarnings=["error"].
 _ARTIFACT_BYTES_AT_IMPORT = (
-    open(_ARTIFACT, "rb").read() if os.path.exists(_ARTIFACT) else None
+    pathlib.Path(_ARTIFACT).read_bytes() if os.path.exists(_ARTIFACT) else None
 )
 
 
@@ -134,7 +137,7 @@ def test_bench_subprocesses_never_touch_repo_artifact() -> None:
     """Meta-gate: after the other contract tests ran (pytest preserves file order),
     the repo's lane matrix must be byte-identical to what it was when this module
     imported — the suite used to clobber it with an error stub every run."""
-    current = open(_ARTIFACT, "rb").read() if os.path.exists(_ARTIFACT) else None
+    current = pathlib.Path(_ARTIFACT).read_bytes() if os.path.exists(_ARTIFACT) else None
     assert current == _ARTIFACT_BYTES_AT_IMPORT, (
         "benchmark/bench_extra.json changed during the test session — a test "
         "subprocess is writing the repo artifact instead of a BENCH_EXTRA_PATH tmp path"

@@ -23,8 +23,10 @@ def test_regression_score_matches_host_within_noise() -> None:
     dev = NeoLSSVM(pre_transform="device").fit(X[:3000], y[:3000])
     s_host = host.score(X[3000:], y[3000:])
     s_dev = dev.score(X[3000:], y[3000:])
-    assert abs(s_host - s_dev) < 0.05, (s_host, s_dev)
-    assert abs(host.loo_score_ - dev.loo_score_) < 0.05
+    # Observed deltas on this dataset are ~7e-4 (score) / ~3e-3 (LOO); 0.015 is ~4x
+    # the worst observed so regressions can't hide under a loose gate (round-4 review).
+    assert abs(s_host - s_dev) < 0.015, (s_host, s_dev)
+    assert abs(host.loo_score_ - dev.loo_score_) < 0.015
 
 
 def test_classifier_score_matches_host_within_noise() -> None:
@@ -33,7 +35,8 @@ def test_classifier_score_matches_host_within_noise() -> None:
     dev = NeoLSSVM(pre_transform="device").fit(X[:3000], y[:3000])
     s_host = host.score(X[3000:], y[3000:])
     s_dev = dev.score(X[3000:], y[3000:])
-    assert abs(s_host - s_dev) < 0.05, (s_host, s_dev)
+    # Accuracy moves in 1/1000 steps on this split; observed delta 0.003.
+    assert abs(s_host - s_dev) < 0.015, (s_host, s_dev)
     # The full downstream stack runs off the device-fitted map.
     proba = dev.predict_proba(X[3000:3050])
     assert proba.shape == (50, 2)
@@ -127,7 +130,7 @@ def test_bfloat16_transfer_score_within_noise() -> None:
     lossy = NeoLSSVM(pre_transform="device", transfer="bfloat16").fit(X[:3000], y[:3000])
     s_full = full.score(X[3000:], y[3000:])
     s_lossy = lossy.score(X[3000:], y[3000:])
-    assert abs(s_full - s_lossy) < 0.05, (s_full, s_lossy)
+    assert abs(s_full - s_lossy) < 0.015, (s_full, s_lossy)  # observed ~4e-3
 
 
 def test_bfloat16_transfer_requires_device_pre_transform() -> None:
@@ -161,7 +164,7 @@ def test_int8_transfer_score_within_noise() -> None:
     lossy = NeoLSSVM(pre_transform="device", transfer="int8").fit(X[:3000], y[:3000])
     s_full = full.score(X[3000:], y[3000:])
     s_lossy = lossy.score(X[3000:], y[3000:])
-    assert abs(s_full - s_lossy) < 0.05, (s_full, s_lossy)
+    assert abs(s_full - s_lossy) < 0.015, (s_full, s_lossy)  # observed ~4e-3
 
 
 def test_int8_transfer_guards_match_bfloat16() -> None:
