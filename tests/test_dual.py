@@ -1,6 +1,8 @@
 """Parity of the eigenbasis-refactored dual solver against the reference."""
 
 import jax.numpy as jnp
+import functools
+
 import numpy as np
 import pytest
 
@@ -15,7 +17,11 @@ import_reference()
 from neo_ls_svm import NeoLSSVM as RefNeoLSSVM  # noqa: E402
 
 
+@functools.lru_cache(maxsize=None)
 def _fit_both(task: str, weighted: bool = False, n: int = 700):
+    # Module-level cache: the unweighted-regression pair is consumed by two tests
+    # (parity + decision/variance); every consumer reads the results only
+    # (suite-wall budget, VERDICT r4 #7).
     if task == "regression":
         X, y = make_regression_dataset(n=n, seed=21)
     else:

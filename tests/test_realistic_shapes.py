@@ -86,11 +86,14 @@ def test_realistic_shape_parity(maker) -> None:
 
 
 @pytest.mark.parametrize(
-    ("maker", "n"), [(make_churn_like, 20000), (make_ames_like, 25000)]
+    ("maker", "n"), [(make_churn_like, 10000), (make_ames_like, 12000)]
 )
 def test_dataset_scale_parity(maker, n) -> None:
-    """Full-pipeline parity at the reference benchmark's dataset scale (20-25k rows),
-    where the quantizer sees dense ECDFs and the separator sees large bins."""
+    """Full-pipeline parity beyond the reference benchmark's dataset scale (churn is
+    7,043 rows, ames 2,930 — ref README.md:146-198), where the quantizer sees dense
+    ECDFs and the separator sees large bins. 10-12k rows keeps a comfortable margin
+    over the real datasets at half the reference-fit wall of the old 20-25k sizes
+    (suite-wall budget, VERDICT r4 #7)."""
     X, y = maker(n=n, seed=95)
     split = int(0.85 * len(y))
     ours = NeoLSSVM().fit(X[:split], y[:split])
