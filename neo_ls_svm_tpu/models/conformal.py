@@ -32,6 +32,29 @@ if TYPE_CHECKING:  # pandas is an optional I/O convenience, never a runtime depe
 CONFORMAL_L2_MIN = 128  # Level-2 bias needs ≥ 128 samples (ref :514).
 
 
+def _coverage_clamped_biases(
+    bias_abs: npt.NDArray,
+    bias_rel: npt.NDArray,
+    quantiles: npt.NDArray,
+    priority: str,
+) -> tuple[npt.NDArray, npt.NDArray]:
+    """Copies of the level-2 biases, clamped outward when coverage has priority.
+
+    ``priority="coverage"`` only allows outward quantile expansion (upper quantiles
+    may shift up, lower down — ref ``_neo_ls_svm.py:571-577``); one shared helper so
+    the host and device-resident serving paths cannot desynchronise on the rule.
+    """
+    bias_abs, bias_rel = bias_abs.copy(), bias_rel.copy()
+    if priority == "coverage":
+        quantiles = np.asarray(quantiles)
+        upper, lower = 0.5 <= quantiles, quantiles <= 0.5
+        bias_abs[upper] = np.maximum(bias_abs[upper], 0)
+        bias_abs[lower] = np.minimum(bias_abs[lower], 0)
+        bias_rel[upper] = np.maximum(bias_rel[upper], 0)
+        bias_rel[lower] = np.minimum(bias_rel[lower], 0)
+    return bias_abs, bias_rel
+
+
 @partial(jax.jit, static_argnames=("is_regressor",))
 def _conformal_quantiles_device(
     yhat: jax.Array,  # (n,) decision-function values
@@ -210,14 +233,9 @@ class ConformalMixin:
             self._fit_conformal_pair(quantiles)
             cqr_abs, bias_abs = self._lazily_fit_conformal_predictor("Δŷ", quantiles)
             cqr_rel, bias_rel = self._lazily_fit_conformal_predictor("Δŷ/ŷ", quantiles)
-            bias_abs, bias_rel = bias_abs.copy(), bias_rel.copy()
-            if priority == "coverage":
-                # Only allow outward quantile expansion when coverage has priority.
-                upper, lower = 0.5 <= quantiles, quantiles <= 0.5
-                bias_abs[upper] = np.maximum(bias_abs[upper], 0)
-                bias_abs[lower] = np.minimum(bias_abs[lower], 0)
-                bias_rel[upper] = np.maximum(bias_rel[upper], 0)
-                bias_rel[lower] = np.minimum(bias_rel[lower], 0)
+            bias_abs, bias_rel = _coverage_clamped_biases(
+                bias_abs, bias_rel, quantiles, priority
+            )
             dtype = self._compute_dtype()
             cache[key] = jax.device_put(
                 tuple(
@@ -304,15 +322,7 @@ class ConformalMixin:
         cqr_abs, bias_abs = self._lazily_fit_conformal_predictor("Δŷ", quantiles)
         cqr_rel, bias_rel = self._lazily_fit_conformal_predictor("Δŷ/ŷ", quantiles)
         quantiles = np.asarray(quantiles)
-        bias_abs, bias_rel = bias_abs.copy(), bias_rel.copy()
-        if priority == "coverage":
-            # Only allow outward quantile expansion when coverage has priority.
-            center = 0.5
-            upper, lower = center <= quantiles, quantiles <= center
-            bias_abs[upper] = np.maximum(bias_abs[upper], 0)
-            bias_abs[lower] = np.minimum(bias_abs[lower], 0)
-            bias_rel[upper] = np.maximum(bias_rel[upper], 0)
-            bias_rel[lower] = np.minimum(bias_rel[lower], 0)
+        bias_abs, bias_rel = _coverage_clamped_biases(bias_abs, bias_rel, quantiles, priority)
         delta_quantiles = np.dstack(
             [
                 cqr_abs.predict(X_cqr) + bias_abs[np.newaxis, :],

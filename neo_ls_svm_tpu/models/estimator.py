@@ -239,6 +239,13 @@ class NeoLSSVM(ConformalMixin, BaseEstimator):
                     f"[{X.shape[0]}, {y.shape[0]}]"
                 )
                 raise ValueError(msg)
+            # y is host-resident here, so the same finiteness gate check_X_y applies
+            # on the host path costs no tunnel traffic — only the O(n·d) X scan is
+            # skipped by design (a NaN in y would otherwise silently fit an
+            # all-NaN model instead of raising).
+            if np.issubdtype(y.dtype, np.floating) and not np.all(np.isfinite(y)):
+                msg = "Input y contains NaN or infinity."
+                raise ValueError(msg)
         else:
             X, y = check_X_y(X, y, dtype=(np.float64, np.float32), ensure_min_samples=2)
             y = np.ravel(np.asarray(y))
@@ -425,7 +432,9 @@ class NeoLSSVM(ConformalMixin, BaseEstimator):
                 # steer this guard and _resolve_fit_plan identically.
                 and payload_bytes >= routing.AUTO_INT8_MIN_BYTES
             ):
-                int8_cost = _estimate_int8_score_cost(X)
+                # Same row set as symmetric_int8_grid: zero-weight rows never
+                # shape the grid, so they must not shape the cost estimate either.
+                int8_cost = _estimate_int8_score_cost(X, sample_weight_)
             self.pre_transform_, self.transfer_ = _resolve_fit_plan(
                 # A device-resident X forces the device pre-transform (eligibility
                 # was settled above; the host path would cost the pull it avoids).

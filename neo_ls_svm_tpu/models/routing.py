@@ -37,7 +37,9 @@ _INT8_COST_COEFF = 12.0
 _INT8_STATS_SAMPLE_ROWS = 65536
 
 
-def _estimate_int8_score_cost(X: npt.NDArray) -> float:
+def _estimate_int8_score_cost(
+    X: npt.NDArray, sample_weight: npt.NDArray | None = None
+) -> float:
     """Predicted LOO-R² cost of the int8 wire mode, from column dynamic range.
 
     Symmetric per-column quantisation has step Δ_c = max|x_c|/127; its damage is
@@ -47,13 +49,26 @@ def _estimate_int8_score_cost(X: npt.NDArray) -> float:
     bench A/B (κ = :data:`_INT8_COST_COEFF`). Gaussian columns (max|x| ≈ 4-5σ at
     n ≥ 1e5) land at ĉ ≈ 0.01-0.02 — over budget, routed to bfloat16 — while
     bounded/low-kurtosis columns (max|x| ≈ √3σ uniform) land at ĉ ≈ 0.002 and keep
-    the quarter-width wire. Statistics come from a strided row subsample (≤
-    :data:`_INT8_STATS_SAMPLE_ROWS` rows), so the estimate is O(sample·d) host work.
+    the quarter-width wire.
+
+    The row set matches what ``symmetric_int8_grid`` actually quantises: zero-weight
+    rows never shape the grid there, so they are excluded here too (otherwise one
+    absurd-valued zero-weight row would veto int8 that the real grid handles fine).
+    max|x_c| — the grid's own quantity and the sample-sensitive one — is computed
+    exactly over all kept rows via two temp-free column reductions; only σ_c (stable
+    under subsampling) comes from a strided subsample of ≤
+    :data:`_INT8_STATS_SAMPLE_ROWS` rows, keeping the host pass O(n·d) reads +
+    O(sample·d) arithmetic.
     """
-    n = X.shape[0]
-    step = max(1, -(-n // _INT8_STATS_SAMPLE_ROWS))
+    if sample_weight is not None and not np.all(sample_weight > 0):
+        X = X[np.asarray(sample_weight) > 0]
+    if X.shape[0] == 0:
+        return 0.0
+    amax = np.maximum(
+        np.max(X, axis=0), -np.min(X, axis=0), dtype=np.float64
+    )
+    step = max(1, -(-X.shape[0] // _INT8_STATS_SAMPLE_ROWS))
     rows = np.asarray(X[::step], dtype=np.float64)
-    amax = np.max(np.abs(rows), axis=0)
     sigma = np.std(rows, axis=0)
     with np.errstate(divide="ignore", invalid="ignore"):
         ratio = np.where(sigma > 0, (amax / 127.0) / sigma, 0.0)

@@ -100,6 +100,30 @@ class TestResolveFitPlan:
         # Constant columns quantise exactly: zero predicted cost.
         assert est_mod._estimate_int8_score_cost(np.full((1000, 3), 7.0)) == 0.0
 
+    def test_int8_cost_estimate_matches_grid_row_set(self) -> None:
+        """The estimate must see the rows ``symmetric_int8_grid`` actually
+        quantises: a zero-weight row never shapes the grid, so an absurd-valued
+        one must not veto int8 either; and an in-weight outlier must be caught
+        exactly (not lost to the strided σ subsample)."""
+        gen = np.random.RandomState(1)
+        X = (gen.rand(100_000, 4) * 2.0 - 1.0).astype(np.float32)
+        w = np.ones(X.shape[0])
+        base = est_mod._estimate_int8_score_cost(X, w)
+        assert base < est_mod.INT8_SCORE_BUDGET
+        # Absurd zero-weight row: excluded from the grid, so excluded here too.
+        X_out = X.copy()
+        X_out[123] = 1e6
+        w_out = w.copy()
+        w_out[123] = 0.0
+        assert est_mod._estimate_int8_score_cost(X_out, w_out) == pytest.approx(
+            est_mod._estimate_int8_score_cost(np.delete(X_out, 123, axis=0))
+        )
+        # The same outlier WITH weight stretches the real grid; max|x| is exact
+        # over all kept rows, so it cannot slip between subsample strides.
+        assert est_mod._estimate_int8_score_cost(X_out, w) > est_mod.INT8_SCORE_BUDGET
+        # Degenerate all-zero weights: defined (no crash), zero cost.
+        assert est_mod._estimate_int8_score_cost(X, np.zeros(X.shape[0])) == 0.0
+
     def test_ineligible_fit_stays_host_even_when_large(self) -> None:
         pt, tr = _resolve_fit_plan(
             "auto",

@@ -83,6 +83,12 @@ def test_device_fit_validation_metadata_only() -> None:
         NeoLSSVM().fit(jnp.asarray(X[:, 0]), y)
     with pytest.raises(ValueError, match="inconsistent numbers of samples"):
         NeoLSSVM().fit(jnp.asarray(X), y[:-5])
+    # y is host-resident on this path, so the finiteness gate the host path gets
+    # from check_X_y must still fire (only the O(n·d) X scan is skipped by design).
+    y_nan = y.copy()
+    y_nan[3] = np.nan
+    with pytest.raises(ValueError, match="Input y contains NaN or infinity"):
+        NeoLSSVM().fit(jnp.asarray(X), y_nan)
 
 
 def test_device_fit_mesh_route() -> None:
