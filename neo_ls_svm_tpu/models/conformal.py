@@ -10,7 +10,7 @@ out, zero round-trips after the one-time plane upload).
 """
 
 from functools import partial
-from typing import TYPE_CHECKING, Any, Literal
+from typing import TYPE_CHECKING, Literal
 
 import jax
 import jax.numpy as jnp
@@ -252,16 +252,30 @@ class ConformalMixin:
 
         Same jax.Array contract as :meth:`decision_function` (ref path:
         ``_neo_ls_svm.py:554-624``): after the one-time conformal fit + upload, a call
-        is two chunked device programs (ŷ and σ) plus one fused combine — zero
-        device→host round-trips. Regressors return (n, |quantiles|); classifiers
-        return the (n, |quantiles|, 2) calibrated probability tensor.
+        is ONE fused chunked device program for both conformal inputs (ŷ and σ share
+        the dominant feature/kernel block — the same fusion the host path uses) plus
+        one fused combine — zero device→host round-trips. Regressors return
+        (n, |quantiles|); classifiers return the (n, |quantiles|, 2) calibrated
+        probability tensor.
         """
         X_d = self._validate_device_X(X)
         beta_abs, bias_abs, beta_rel, bias_rel = self._conformal_device_params(
             quantiles, priority
         )
-        yhat = self.decision_function(X_d)
-        std = self.predict_std(X_d)
+        if self.primal_:
+            both = self._in_chunks(
+                X_d, self._primal_decision_var_device, device_out=True
+            )
+        else:
+            both = self._in_chunks(
+                X_d,
+                lambda X_c: self._dual_decision_var_device(
+                    self._device_dual_transform(X_c)
+                ),
+                device_out=True,
+            )
+        yhat = both[:, 0]
+        std = jnp.sqrt(jnp.maximum(both[:, 1], 0.0))
         yhat_quantiles = _conformal_quantiles_device(
             yhat,
             std,

@@ -130,6 +130,29 @@ def dual_decision_function(
 
 
 @partial(jax.jit, static_argnames=("precision",))
+def dual_decision_var(
+    X: jax.Array,
+    X_train: jax.Array,
+    alpha: jax.Array,
+    chol: jax.Array,
+    *,
+    precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
+) -> jax.Array:
+    """ŷ(x) and σ²(x) stacked (n, 2), sharing ONE RBF kernel block.
+
+    Both heads are dominated by the n×n_train Gram ``k(x, X)`` (ref ``:666-671`` and
+    ``:471-475``); the conformal paths need both per row, and two separate jitted
+    calls would each rebuild the block. One program halves the dominant FLOPs and
+    costs a single dispatch per chunk.
+    """
+    K = rbf_kernel(X, X_train, RBF_GAMMA, precision=precision)
+    yhat = jnp.dot(K, alpha, precision=precision) + jnp.sum(alpha)
+    solved = jax.scipy.linalg.cho_solve((chol, True), K.T)
+    var = 1.0 - jnp.sum(K * solved.T, axis=1)
+    return jnp.stack([yhat, var], axis=1)
+
+
+@partial(jax.jit, static_argnames=("precision",))
 def dual_predict_var(
     X: jax.Array,
     X_train: jax.Array,

@@ -30,6 +30,7 @@ from neo_ls_svm_tpu.models.conformal import ConformalMixin
 from neo_ls_svm_tpu.models.cqr import CoherentLinearQuantileRegressor
 from neo_ls_svm_tpu.models.dual import (
     dual_decision_function,
+    dual_decision_var,
     dual_fit,
     dual_predict_var,
 )
@@ -37,6 +38,7 @@ from neo_ls_svm_tpu.models.isotonic import IsotonicCalibrator
 from neo_ls_svm_tpu.models.primal import (
     gamma_grid,
     primal_decision_function,
+    primal_decision_var,
     primal_fit,
     primal_fit_streaming,
     primal_predict_var,
@@ -69,6 +71,18 @@ from neo_ls_svm_tpu.utils.validation import (
 if TYPE_CHECKING:  # pandas is an optional I/O convenience, never a runtime dependency.
     import pandas as pd
 
+def _is_device_array(x: Any) -> bool:
+    """True iff ``x`` is a device-resident ``jax.Array`` (and not a NumPy array).
+
+    The single definition of "device-resident" for the fit entry and the staging
+    branch — they must agree, or a fit could skip host validation yet still pay the
+    host pull (or vice versa). The ``np.ndarray`` exclusion is defensive: NumPy
+    arrays must always take the host path even if a future jax registers them
+    against the ``jax.Array`` ABC.
+    """
+    return isinstance(x, jax.Array) and not isinstance(x, np.ndarray)
+
+
 DUAL_THRESHOLD = 1024  # n ≤ 1024 → dual space (ref _neo_ls_svm.py:375).
 STREAMING_BYTES_THRESHOLD = 6 * 1024**3  # In-memory working set above this → stream.
 STREAMING_ROW_CHUNK = 32768
@@ -80,12 +94,27 @@ LAZY_MATERIALIZE_MIN_ROWS = 65_536  # Below this, fit pulls the host copy eagerl
 # models/routing.py; re-exported here for back-compat with pre-0.5 imports.
 from . import routing
 from .routing import (  # noqa: F401  (re-exports)
-    AUTO_DEVICE_PT_MIN_BYTES,
-    AUTO_INT8_MIN_BYTES,
-    INT8_SCORE_BUDGET,
     _estimate_int8_score_cost,
     _resolve_fit_plan,
 )
+
+_ROUTING_THRESHOLD_NAMES = (
+    "AUTO_DEVICE_PT_MIN_BYTES",
+    "AUTO_INT8_MIN_BYTES",
+    "INT8_SCORE_BUDGET",
+)
+
+
+def __getattr__(name: str) -> Any:
+    # Live forwarding (PEP 562) instead of a snapshot binding: fit reads the
+    # thresholds from ``routing``, so a copied name here would make reads at the
+    # documented pre-0.5 location silently drift from what fit actually uses after
+    # anyone rebinds ``routing.AUTO_*`` (e.g. a test monkeypatch). Writes must
+    # still target ``models.routing`` — setting the name on this module only
+    # shadows the forwarder.
+    if name in _ROUTING_THRESHOLD_NAMES:
+        return getattr(routing, name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
 # Fitted attributes materialised lazily from the device-resident fit result (one
 # batched device→host transfer on first access; see NeoLSSVM.__getattr__).
@@ -227,7 +256,7 @@ class NeoLSSVM(ConformalMixin, BaseEstimator):
         # :meth:`_validate_device_X`); the O(n) target/weight vectors are pulled once
         # so the host-side routing/label logic is unchanged. JAX-native pipelines
         # therefore feed ``fit`` → ``predict`` without X ever leaving the chip.
-        X_on_device = isinstance(X, jax.Array) and not isinstance(X, np.ndarray)
+        X_on_device = _is_device_array(X)
         if X_on_device:
             X = self._validate_fit_device_X(X)
             if isinstance(y, jax.Array) or isinstance(sample_weight, jax.Array):
@@ -767,7 +796,7 @@ class NeoLSSVM(ConformalMixin, BaseEstimator):
         # ~100 ms of tunnel latency, so the call count only grows where pipelining
         # buys it back.
         small_put = (y_p, s_p, self.γs_) if quant_scale is None else (y_p, s_p, self.γs_, quant_scale)
-        if isinstance(X_p, jax.Array) and not isinstance(X_p, np.ndarray):
+        if _is_device_array(X_p):
             # Device-resident ingestion: X never crossed the host, so only the O(n)
             # vectors ride one batched put (transfer_ is "float32" by construction —
             # there is no wire to narrow).
@@ -1201,28 +1230,32 @@ class NeoLSSVM(ConformalMixin, BaseEstimator):
     def _primal_decision_var_device(self, X_c: jax.Array) -> jax.Array:
         """ŷ and σ² for one chunk, stacked (n, 2).
 
-        The conformal host path needs both; fusing them into one chunk program means
-        X crosses the tunnel ONCE instead of twice (the mapped features are recomputed
-        on device — two extra tiny matmuls, nothing against the wire cost)."""
-        return jnp.stack(
-            [self._primal_decision_device(X_c), self._primal_var_device(X_c)], axis=1
+        The conformal paths need both; ONE jitted program (``primal_decision_var``)
+        means X crosses the tunnel once, the O(n·2M·d) feature block is computed
+        once, and the chunk costs a single dispatch."""
+        dtype = self._compute_dtype()
+        return primal_decision_var(
+            X_c,
+            self._device("M_map"),
+            self._device("b_map"),
+            self._device("beta_emb"),
+            self._device("Qs"),
+            self._device("lam"),
+            jnp.asarray(np.asarray(self.γ_, dtype=dtype)),
+            jnp.asarray(np.asarray(self._inv_c0, dtype=dtype)),
         )
 
     def _dual_decision_var_device(self, X_c: jax.Array) -> jax.Array:
         """ŷ and σ² for one (dual-transformed) chunk, stacked (n, 2).
 
-        Dual counterpart of :meth:`_primal_decision_var_device`: the conformal host
-        path needs both, and fusing them into one chunk program means X crosses the
-        tunnel ONCE (the kernel block against the training set is recomputed for
-        each output — two tiny n×n_train matmuls at n_train ≤ 1024)."""
-        return jnp.stack(
-            [
-                dual_decision_function(
-                    X_c, self._device("X_train"), self._device("alpha")
-                ),
-                dual_predict_var(X_c, self._device("X_train"), self._device("chol")),
-            ],
-            axis=1,
+        Dual counterpart of :meth:`_primal_decision_var_device`: ONE jitted program
+        (``dual_decision_var``) computes the dominant n×n_train RBF block once for
+        both heads and costs a single dispatch per chunk."""
+        return dual_decision_var(
+            X_c,
+            self._device("X_train"),
+            self._device("alpha"),
+            self._device("chol"),
         )
 
     def _primal_var_device(self, X_c: jax.Array) -> jax.Array:

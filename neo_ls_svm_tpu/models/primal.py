@@ -310,6 +310,37 @@ def primal_decision_function(
 
 
 @partial(jax.jit, static_argnames=("precision",))
+def primal_decision_var(
+    X: jax.Array,
+    M_map: jax.Array,
+    b_map: jax.Array,
+    beta_emb: jax.Array,
+    Qs: jax.Array,
+    lam: jax.Array,
+    gamma: jax.Array,
+    inv_c0: jax.Array,
+    *,
+    precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
+) -> jax.Array:
+    """ŷ(x) and σ²(x) stacked (n, 2), sharing ONE feature transform.
+
+    The conformal paths (ref ``predict_quantiles``, ``_neo_ls_svm.py:554-624``) need
+    both heads for every row; evaluating them as one program computes the O(n·2M·d)
+    feature block W once (two jitted calls would each rebuild it) and costs a single
+    kernel dispatch per chunk — on the tunneled backend dispatches are ~100 ms class,
+    so the serving lane's call count matters as much as its FLOPs.
+    """
+    W = _features_real_pair(X, M_map, b_map, precision=precision)
+    M = W.shape[1] // 2
+    sign = jnp.concatenate([jnp.ones((M,), X.dtype), -jnp.ones((M,), X.dtype)])
+    yhat = jnp.dot(W, sign * beta_emb, precision=precision)
+    Gu = jnp.dot(W, Qs, precision=precision)
+    r = (1.0 / (gamma + lam))[:, None]
+    var = inv_c0 * jnp.dot(Gu * Gu, r, precision=precision)[:, 0]
+    return jnp.stack([yhat, var], axis=1)
+
+
+@partial(jax.jit, static_argnames=("precision",))
 def primal_predict_var(
     X: jax.Array,
     M_map: jax.Array,

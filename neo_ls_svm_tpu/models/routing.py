@@ -61,14 +61,27 @@ def _estimate_int8_score_cost(
     O(sample·d) arithmetic.
     """
     if sample_weight is not None and not np.all(sample_weight > 0):
-        X = X[np.asarray(sample_weight) > 0]
-    if X.shape[0] == 0:
-        return 0.0
-    amax = np.maximum(
-        np.max(X, axis=0), -np.min(X, axis=0), dtype=np.float64
-    )
-    step = max(1, -(-X.shape[0] // _INT8_STATS_SAMPLE_ROWS))
-    rows = np.asarray(X[::step], dtype=np.float64)
+        # Where-reductions + an index-strided subsample: same statistics as masking
+        # X outright, without materialising an O(n·d) copy on a path that exists to
+        # shave host milliseconds off ≥100 MiB fits.
+        keep = np.asarray(sample_weight) > 0
+        idx = np.flatnonzero(keep)
+        if idx.size == 0:
+            return 0.0
+        mask = keep[:, None]
+        amax = np.maximum(
+            np.max(X, axis=0, where=mask, initial=-np.inf),
+            -np.min(X, axis=0, where=mask, initial=np.inf),
+            dtype=np.float64,
+        )
+        step = max(1, -(-idx.size // _INT8_STATS_SAMPLE_ROWS))
+        rows = np.asarray(X[idx[::step]], dtype=np.float64)
+    else:
+        if X.shape[0] == 0:
+            return 0.0
+        amax = np.maximum(np.max(X, axis=0), -np.min(X, axis=0), dtype=np.float64)
+        step = max(1, -(-X.shape[0] // _INT8_STATS_SAMPLE_ROWS))
+        rows = np.asarray(X[::step], dtype=np.float64)
     sigma = np.std(rows, axis=0)
     with np.errstate(divide="ignore", invalid="ignore"):
         ratio = np.where(sigma > 0, (amax / 127.0) / sigma, 0.0)
@@ -95,7 +108,9 @@ def _resolve_fit_plan(
       host prep dominates (≥ :data:`AUTO_DEVICE_PT_MIN_BYTES`); else the bit-parity
       ``"host"`` path.
     - ``transfer="auto"`` → a narrow wire only for device-pre-transform fits whose
-      upload rides the tunneled backend: ``"int8"`` above
+      upload rides the tunneled backend AND is big enough that wire width (not
+      per-call latency) is the wall (≥ :data:`AUTO_DEVICE_PT_MIN_BYTES`, the same
+      crossover that justifies the device pre-transform): ``"int8"`` above
       :data:`AUTO_INT8_MIN_BYTES` (wire share dominates) **and only when the
       predicted LOO-R² cost of quantisation is within**
       :data:`INT8_SCORE_BUDGET` (``int8_score_cost``, estimated from column
@@ -118,7 +133,16 @@ def _resolve_fit_plan(
         )
     resolved_tr = transfer
     if transfer == "auto":
-        if resolved_pt == "device" and device_pt_eligible and tunneled:
+        if (
+            resolved_pt == "device"
+            and device_pt_eligible
+            and tunneled
+            # Lossy narrowing needs a payload where wire width is the wall: below
+            # the device-pt crossover the ~100 ms tunnel latency dominates and
+            # bf16 would spend its ~0.004 LOO-R² rounding for zero wall-clock —
+            # reachable via an explicit pre_transform="device" on a small fit.
+            and payload_bytes >= AUTO_DEVICE_PT_MIN_BYTES
+        ):
             int8_within_budget = (
                 int8_score_cost is not None and int8_score_cost < INT8_SCORE_BUDGET
             )

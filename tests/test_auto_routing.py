@@ -65,6 +65,31 @@ class TestResolveFitPlan:
         )
         assert (pt, tr) == ("device", "int8")
 
+    def test_small_explicit_device_fit_keeps_lossless_wire(self) -> None:
+        """Lossy narrowing needs a payload where wire width is the wall: an explicit
+        ``pre_transform="device"`` fit below the device-pt crossover is latency-bound,
+        so ``transfer="auto"`` must stay float32 rather than spend bf16's rounding
+        for zero wall-clock (round-5 review finding)."""
+        pt, tr = _resolve_fit_plan(
+            "device",
+            "auto",
+            payload_bytes=AUTO_DEVICE_PT_MIN_BYTES // 4,
+            device_pt_eligible=True,
+            tunneled=True,
+        )
+        assert (pt, tr) == ("device", "float32")
+
+    def test_estimator_threshold_reexports_read_live(self, monkeypatch) -> None:
+        """The pre-0.5 locations (``models.estimator.AUTO_*``) forward to
+        ``models.routing`` dynamically — a snapshot binding would silently diverge
+        from what fit actually reads after a rebind (round-5 review finding)."""
+        monkeypatch.setattr(routing_mod, "AUTO_INT8_MIN_BYTES", 12345)
+        assert est_mod.AUTO_INT8_MIN_BYTES == 12345
+        monkeypatch.setattr(routing_mod, "INT8_SCORE_BUDGET", 0.5)
+        assert est_mod.INT8_SCORE_BUDGET == 0.5
+        with pytest.raises(AttributeError, match="no attribute"):
+            est_mod.NOT_A_THRESHOLD  # noqa: B018
+
     def test_int8_requires_score_budget(self) -> None:
         """transfer='auto' may only spend accuracy inside the stated budget
         (VERDICT r4 #4): over-budget or unknown quantisation cost → bfloat16."""
