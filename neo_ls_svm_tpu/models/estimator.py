@@ -30,7 +30,6 @@ from neo_ls_svm_tpu.models.conformal import ConformalMixin
 from neo_ls_svm_tpu.models.cqr import CoherentLinearQuantileRegressor
 from neo_ls_svm_tpu.models.dual import (
     dual_decision_function,
-    dual_decision_var,
     dual_fit,
     dual_predict_var,
 )
@@ -38,7 +37,6 @@ from neo_ls_svm_tpu.models.isotonic import IsotonicCalibrator
 from neo_ls_svm_tpu.models.primal import (
     gamma_grid,
     primal_decision_function,
-    primal_decision_var,
     primal_fit,
     primal_fit_streaming,
     primal_predict_var,
@@ -64,24 +62,13 @@ from neo_ls_svm_tpu.utils.validation import (
     check_consistent_length,
     check_is_fitted,
     check_X_y,
+    is_device_array as _is_device_array,
     is_pandas,
     train_test_split,
 )
 
 if TYPE_CHECKING:  # pandas is an optional I/O convenience, never a runtime dependency.
     import pandas as pd
-
-def _is_device_array(x: Any) -> bool:
-    """True iff ``x`` is a device-resident ``jax.Array`` (and not a NumPy array).
-
-    The single definition of "device-resident" for the fit entry and the staging
-    branch — they must agree, or a fit could skip host validation yet still pay the
-    host pull (or vice versa). The ``np.ndarray`` exclusion is defensive: NumPy
-    arrays must always take the host path even if a future jax registers them
-    against the ``jax.Array`` ABC.
-    """
-    return isinstance(x, jax.Array) and not isinstance(x, np.ndarray)
-
 
 DUAL_THRESHOLD = 1024  # n ≤ 1024 → dual space (ref _neo_ls_svm.py:375).
 STREAMING_BYTES_THRESHOLD = 6 * 1024**3  # In-memory working set above this → stream.
@@ -115,6 +102,12 @@ def __getattr__(name: str) -> Any:
     if name in _ROUTING_THRESHOLD_NAMES:
         return getattr(routing, name)
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+def __dir__() -> list[str]:
+    # PEP 562 pairs module __getattr__ with __dir__ so the forwarded names stay
+    # visible to dir()/tab-completion/doc tooling, not just to attribute access.
+    return [*globals(), *_ROUTING_THRESHOLD_NAMES]
 
 # Fitted attributes materialised lazily from the device-resident fit result (one
 # batched device→host transfer on first access; see NeoLSSVM.__getattr__).
@@ -1091,6 +1084,10 @@ class NeoLSSVM(ConformalMixin, BaseEstimator):
                 "alpha": lambda: self.α̂_,
                 "chol": lambda: self._chol,
                 "X_train": lambda: self.X_,
+                # Scalars too: a fresh per-call put of γ/1/c₀ would cost the very
+                # ~100 ms-class tunnel transfer the fused chunk programs save.
+                "gamma": lambda: np.asarray(self.γ_, dtype=self._compute_dtype()),
+                "inv_c0": lambda: np.asarray(self._inv_c0, dtype=self._compute_dtype()),
             }[key]()
             cache[key] = jnp.asarray(host)
         return cache[key]
@@ -1227,52 +1224,20 @@ class NeoLSSVM(ConformalMixin, BaseEstimator):
             X_c, self._device("M_map"), self._device("b_map"), self._device("beta_emb")
         )
 
-    def _primal_decision_var_device(self, X_c: jax.Array) -> jax.Array:
-        """ŷ and σ² for one chunk, stacked (n, 2).
-
-        The conformal paths need both; ONE jitted program (``primal_decision_var``)
-        means X crosses the tunnel once, the O(n·2M·d) feature block is computed
-        once, and the chunk costs a single dispatch."""
-        dtype = self._compute_dtype()
-        return primal_decision_var(
-            X_c,
-            self._device("M_map"),
-            self._device("b_map"),
-            self._device("beta_emb"),
-            self._device("Qs"),
-            self._device("lam"),
-            jnp.asarray(np.asarray(self.γ_, dtype=dtype)),
-            jnp.asarray(np.asarray(self._inv_c0, dtype=dtype)),
-        )
-
-    def _dual_decision_var_device(self, X_c: jax.Array) -> jax.Array:
-        """ŷ and σ² for one (dual-transformed) chunk, stacked (n, 2).
-
-        Dual counterpart of :meth:`_primal_decision_var_device`: ONE jitted program
-        (``dual_decision_var``) computes the dominant n×n_train RBF block once for
-        both heads and costs a single dispatch per chunk."""
-        return dual_decision_var(
-            X_c,
-            self._device("X_train"),
-            self._device("alpha"),
-            self._device("chol"),
-        )
-
     def _primal_var_device(self, X_c: jax.Array) -> jax.Array:
         """σ² for one device-resident chunk (shared by the host and device paths).
 
         Dtype comes from :meth:`_compute_dtype` (NOT ``self._M_map``, which is a lazy
         attribute on ``pre_transform="device"`` fits — touching it here would force
         the full observability pull onto the serving path)."""
-        dtype = self._compute_dtype()
         return primal_predict_var(
             X_c,
             self._device("M_map"),
             self._device("b_map"),
             self._device("Qs"),
             self._device("lam"),
-            jnp.asarray(np.asarray(self.γ_, dtype=dtype)),
-            jnp.asarray(np.asarray(self._inv_c0, dtype=dtype)),
+            self._device("gamma"),
+            self._device("inv_c0"),
         )
 
     def _device_dual_transform(self, X: jax.Array) -> jax.Array:
@@ -1307,7 +1272,7 @@ class NeoLSSVM(ConformalMixin, BaseEstimator):
         on the same backend with no host round-trip (see :meth:`_validate_device_X`).
         """
         check_is_fitted(self, ["γ_"])
-        if isinstance(X, jax.Array):
+        if _is_device_array(X):
             X_d = self._validate_device_X(X)
             if self.primal_:
                 return self._in_chunks(X_d, self._primal_decision_device, device_out=True)
@@ -1346,7 +1311,7 @@ class NeoLSSVM(ConformalMixin, BaseEstimator):
         A ``jax.Array`` input returns a device-resident ``jax.Array`` (no host pull).
         """
         check_is_fitted(self, ["γ_"])
-        if isinstance(X, jax.Array):
+        if _is_device_array(X):
             X_d = self._validate_device_X(X)
             if self.primal_:
                 var = self._in_chunks(X_d, self._primal_var_device, device_out=True)
@@ -1397,7 +1362,7 @@ class NeoLSSVM(ConformalMixin, BaseEstimator):
         if quantiles is not None:
             return self.predict_quantiles(X, quantiles=quantiles)
         check_is_fitted(self, ["γ_"])
-        if isinstance(X, jax.Array):
+        if _is_device_array(X):
             if self._estimator_type == "regressor" and np.issubdtype(self.y_dtype_, np.floating):
                 # Device-resident fast path: point predictions never leave the chip.
                 # canonicalize_dtype folds f64 -> f32 silently when x64 is off.
@@ -1443,7 +1408,7 @@ class NeoLSSVM(ConformalMixin, BaseEstimator):
         interp); regressors return device point predictions.
         """
         check_is_fitted(self, ["γ_"])
-        if isinstance(X, jax.Array):
+        if _is_device_array(X):
             yhat = self.decision_function(X)
             if self._estimator_type != "classifier":
                 return yhat

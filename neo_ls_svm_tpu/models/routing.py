@@ -61,27 +61,29 @@ def _estimate_int8_score_cost(
     O(sample·d) arithmetic.
     """
     if sample_weight is not None and not np.all(sample_weight > 0):
+        keep = np.asarray(sample_weight) > 0
+        idx = np.flatnonzero(keep)
+    else:
+        keep = idx = None
+    # One definition of the empty guard, subsample stride, and f64 subsample for
+    # both branches — the weighted and unweighted fits must compute the same cost
+    # statistics by construction.
+    n_kept = X.shape[0] if idx is None else idx.size
+    if n_kept == 0:
+        return 0.0
+    if keep is None:
+        amax = np.maximum(np.max(X, axis=0), -np.min(X, axis=0), dtype=np.float64)
+    else:
         # Where-reductions + an index-strided subsample: same statistics as masking
         # X outright, without materialising an O(n·d) copy on a path that exists to
         # shave host milliseconds off ≥100 MiB fits.
-        keep = np.asarray(sample_weight) > 0
-        idx = np.flatnonzero(keep)
-        if idx.size == 0:
-            return 0.0
-        mask = keep[:, None]
         amax = np.maximum(
-            np.max(X, axis=0, where=mask, initial=-np.inf),
-            -np.min(X, axis=0, where=mask, initial=np.inf),
+            np.max(X, axis=0, where=keep[:, None], initial=-np.inf),
+            -np.min(X, axis=0, where=keep[:, None], initial=np.inf),
             dtype=np.float64,
         )
-        step = max(1, -(-idx.size // _INT8_STATS_SAMPLE_ROWS))
-        rows = np.asarray(X[idx[::step]], dtype=np.float64)
-    else:
-        if X.shape[0] == 0:
-            return 0.0
-        amax = np.maximum(np.max(X, axis=0), -np.min(X, axis=0), dtype=np.float64)
-        step = max(1, -(-X.shape[0] // _INT8_STATS_SAMPLE_ROWS))
-        rows = np.asarray(X[::step], dtype=np.float64)
+    step = max(1, -(-n_kept // _INT8_STATS_SAMPLE_ROWS))
+    rows = np.asarray(X[::step] if idx is None else X[idx[::step]], dtype=np.float64)
     sigma = np.std(rows, axis=0)
     with np.errstate(divide="ignore", invalid="ignore"):
         ratio = np.where(sigma > 0, (amax / 127.0) / sigma, 0.0)

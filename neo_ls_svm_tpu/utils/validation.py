@@ -210,6 +210,20 @@ def check_sample_weight(
     return sample_weight
 
 
+def is_device_array(x: Any) -> bool:
+    """True iff ``x`` is a device-resident ``jax.Array`` (and not a NumPy array).
+
+    The single definition of "device-resident" for the whole package: the fit entry,
+    the staging branch, and every serving method must agree, or one path could route
+    an array to the device lane while another pulls the same array to host. The
+    ``np.ndarray`` exclusion is defensive: NumPy arrays must always take the host
+    path even if a future jax registers them against the ``jax.Array`` ABC.
+    """
+    import jax  # noqa: PLC0415 - keep this module importable without initializing jax
+
+    return isinstance(x, jax.Array) and not isinstance(x, np.ndarray)
+
+
 def train_test_split(
     *arrays: Any,
     train_size: int | float | None = None,

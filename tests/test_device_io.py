@@ -145,3 +145,35 @@ def test_device_prediction_after_restore(n) -> None:
         np.testing.assert_allclose(
             np.asarray(dev), getattr(model, method)(X[:50]), rtol=1e-10, atol=1e-12
         )
+
+
+def test_conformal_scalars_ride_the_device_cache() -> None:
+    """γ and 1/c₀ must be uploaded once per fit, not once per serving chunk.
+
+    On the tunneled backend every fresh host→device put costs ~100 ms of latency;
+    the fused single-dispatch chunk programs only pay off if their scalar operands
+    are cached like the matrix operands (round-5 review finding)."""
+    X, y = make_regression_dataset(n=1600, seed=27)
+    model = NeoLSSVM().fit(X, y)
+    model.predict_quantiles(X[:64])
+    cache = model._device_cache
+    assert "gamma" in cache and "inv_c0" in cache
+    g1, c1 = cache["gamma"], cache["inv_c0"]
+    model.predict_quantiles(X[64:128])
+    # Same device handles on the second call: no re-upload happened.
+    assert cache["gamma"] is g1 and cache["inv_c0"] is c1
+    np.testing.assert_allclose(np.asarray(g1), model.γ_, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(c1), model._inv_c0, rtol=1e-6)
+
+
+def test_estimator_module_dir_lists_forwarded_thresholds() -> None:
+    """PEP 562: the module __getattr__ forwarder pairs with __dir__, so the
+    documented pre-0.5 threshold locations stay visible to introspection."""
+    from neo_ls_svm_tpu.models import estimator
+
+    listing = dir(estimator)
+    for name in ("AUTO_DEVICE_PT_MIN_BYTES", "AUTO_INT8_MIN_BYTES", "INT8_SCORE_BUDGET"):
+        assert name in listing
+        assert getattr(estimator, name) == getattr(
+            __import__("neo_ls_svm_tpu.models.routing", fromlist=[name]), name
+        )
