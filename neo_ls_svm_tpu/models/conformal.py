@@ -151,7 +151,9 @@ class ConformalMixin:
             if device_out:
                 return self._in_chunks(X, self._primal_decision_var_device, device_out=True)
             return self._in_chunks(
-                X.astype(self._compute_dtype()),
+                # copy=False: skip the O(n·d) host duplicate when the dtype already
+                # matches — this lane is wire-bound and the chunks are read-only.
+                X.astype(self._compute_dtype(), copy=False),
                 lambda X_c: self._primal_decision_var_device(self._upload_chunk(X_c)),
                 device_out=False,
             )
