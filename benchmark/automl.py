@@ -462,3 +462,13 @@ def make_parser(kind: str) -> argparse.ArgumentParser:
         "--no-record", action="store_true", help="don't write benchmark/results.json"
     )
     return parser
+
+if __name__ == "__main__":
+    # Direct execution runs BOTH suites (the per-suite CLIs are
+    # benchmark/classification.py and benchmark/regression.py); without this,
+    # `python benchmark/automl.py --smoke` silently exited 0 having done nothing.
+    parser = make_parser("classification+regression")
+    cli_args = parser.parse_args()
+    status_clf, _ = run_suite("clf", cli_args)
+    status_reg, _ = run_suite("reg", cli_args)
+    raise SystemExit(status_clf or status_reg)
