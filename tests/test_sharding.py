@@ -234,6 +234,26 @@ def test_estimator_mesh_fit_matches_single_device() -> None:
     )
 
 
+def test_mesh_fit_conformal_serving_matches_single_device() -> None:
+    """Conformal serving composes with mesh fits: the calibration split and the CQR
+    planes are functions of the fit result only, so a mesh fit must produce the same
+    calibrated quantiles/intervals as the single-device fit it parity-matches."""
+    from neo_ls_svm_tpu import NeoLSSVM
+
+    X, y = make_regression_dataset(n=1500, seed=45)
+    y = np.abs(y) + 10.0  # price-like positive target (conformal coverage convention)
+    single = NeoLSSVM().fit(X, y)
+    sharded = NeoLSSVM(mesh=make_mesh(num_data=8, num_feature=1)).fit(X, y)
+    q_s = np.asarray(sharded.predict_quantiles(X[:100]))
+    q_1 = np.asarray(single.predict_quantiles(X[:100]))
+    np.testing.assert_allclose(q_s, q_1, rtol=1e-6, atol=1e-9)
+    iv = np.asarray(sharded.predict_interval(X[:100], coverage=0.9))
+    np.testing.assert_allclose(
+        iv, np.asarray(single.predict_interval(X[:100], coverage=0.9)), rtol=1e-6, atol=1e-9
+    )
+    assert np.all(np.diff(q_s, axis=1) >= -1e-9)
+
+
 def test_mesh_route_keeps_normalizer_stats_on_host(monkeypatch) -> None:
     """The mesh route stages X sharded inside the sharded fit; the normalizer must not
     duplicate the full matrix onto one chip for its statistics."""
