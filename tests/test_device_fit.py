@@ -102,3 +102,25 @@ def test_device_fit_mesh_route() -> None:
     m_np = NeoLSSVM(random_state=5, mesh=mesh, pre_transform="device").fit(X, y)
     np.testing.assert_allclose(m_dev.predict(X[:64]), m_np.predict(X[:64]), rtol=1e-5)
     assert m_dev.score(X, y) > 0.9
+
+
+def test_device_fit_then_device_conformal_serving() -> None:
+    """The full JAX-native pipeline: device X in → device fit → device-resident
+    calibrated quantiles/intervals out, with parity against the host serving path
+    of the same model (the conformal level fits themselves are tiny host LPs that
+    pull calibration attributes via explicit device_get — allowed by contract)."""
+    X, y = _dataset(n=2048, seed=3)
+    y = np.abs(y).astype(np.float32) + 10.0  # price-like positive target
+    m = NeoLSSVM(random_state=11).fit(jnp.asarray(X), jnp.asarray(y))
+    assert m.pre_transform_ == "device"
+    X_serve = jnp.asarray(X[:128])
+    q_dev = m.predict_quantiles(X_serve)
+    iv_dev = m.predict_interval(X_serve, coverage=0.9)
+    assert isinstance(q_dev, jax.Array) and isinstance(iv_dev, jax.Array)
+    np.testing.assert_allclose(
+        np.asarray(q_dev), m.predict_quantiles(X[:128]), rtol=1e-5, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(iv_dev), m.predict_interval(X[:128], coverage=0.9), rtol=1e-5, atol=1e-7
+    )
+    assert np.all(np.diff(np.asarray(q_dev), axis=1) >= -1e-6)
