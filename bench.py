@@ -599,6 +599,30 @@ def main() -> None:
                 f"{fresh_tuple_s:.3f}s, warm {warm_s:.3f}s",
                 file=sys.stderr,
             )
+            # TPU-native conformal solver lane: the same fresh-tuple level-1 fit
+            # through the batched vmapped-Newton device program
+            # (conformal_method="smooth") instead of the host HiGHS LPs — the
+            # serving programs are already warm, so this isolates the solver swap.
+            model.conformal_method = "smooth"
+            try:
+                t0 = time.perf_counter()
+                model.predict_quantiles(X[:1024], quantiles=(0.15, 0.5, 0.85))
+                smooth_fresh_s = time.perf_counter() - t0
+            finally:
+                model.conformal_method = "exact"
+            extra_metrics.append(
+                {
+                    "metric": f"conformal_smooth_fresh_tuple_n{n}",
+                    "value": round(smooth_fresh_s, 4),
+                    "unit": "s",
+                    "exact_fresh_tuple_s": round(fresh_tuple_s, 4),
+                }
+            )
+            print(
+                f"[bench] smooth (TPU-native) conformal fresh tuple: "
+                f"{smooth_fresh_s:.3f}s (exact LP path: {fresh_tuple_s:.3f}s)",
+                file=sys.stderr,
+            )
         except Exception as exc:  # pragma: no cover - lane resilience
             extra_metrics.append({"metric": f"conformal_first_call_n{n}", "error": str(exc)})
         try:
