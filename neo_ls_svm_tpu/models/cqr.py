@@ -91,6 +91,7 @@ def _solve_coupled_lp(
     quantiles_full: npt.NDArray,
     s: npt.NDArray,
     alpha: float,
+    _equilibrated: bool = False,
 ) -> npt.NDArray:
     """Exact coherent-quantile LP over a (sub)set of quantiles, solved by HiGHS.
 
@@ -143,7 +144,25 @@ def _solve_coupled_lp(
     # Interior point (with HiGHS's default crossover to a vertex) is ~2-3x faster than
     # dual simplex on this constraint structure and reaches the same optimum.
     result = linprog(c=c, A_ub=A_ub, b_ub=b_ub, A_eq=A_eq, b_eq=b_eq, method="highs-ipm")
-    if not result.success:  # pragma: no cover - HiGHS does not fail on feasible LPs
+    if not result.success:
+        # This LP cannot genuinely fail: c ≥ 0 and x ≥ 0 bound the objective below by
+        # 0, and Δ⁺−Δ⁻ = Xβ−y is satisfiable for any β, so it is feasible AND bounded.
+        # HiGHS nevertheless misreports instances whose coefficients span ~20 orders
+        # of magnitude (observed: |X| ~1e12 with α ~5e-9 → "unbounded" from every
+        # HiGHS method). Retry once on a column-equilibrated formulation: solving in
+        # x̃ = x/colmax, ỹ = y/max|y| divides each pinball term by max|y|, so the
+        # argmin is unchanged up to the √eps-tiny L1 tie-breaker becoming
+        # column-weighted; β unscales as β = max|y|·β̃/colmax. The primary
+        # (reference-parity) path is untouched — this only engages where the raw
+        # solve returned no solution at all.
+        if not _equilibrated:
+            col = np.abs(Xd).max(axis=0)
+            col = np.where(col > 0, col, 1.0)
+            y_scale = max(float(np.abs(y).max()), np.finfo(dtype).tiny)
+            beta_eq = _solve_coupled_lp(
+                Xd / col[None, :], y / y_scale, quantiles_full, s, alpha, _equilibrated=True
+            )
+            return beta_eq * (y_scale / col[:, None])
         msg = f"Coherent quantile LP failed: {result.message}"
         raise RuntimeError(msg)
     beta = result.x[: Q * F] - result.x[Q * F : 2 * Q * F]

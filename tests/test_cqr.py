@@ -259,3 +259,25 @@ def test_exact_lp_decomposition_merges_crossing_blocks() -> None:
     pin_fast = _pinball(y, X @ beta_full, quantiles)
     pin_ref = _pinball(y, X @ beta_full_ref, quantiles)
     assert pin_fast <= pin_ref * (1 + 1e-7)
+
+
+def test_exact_lp_equilibration_retry_on_pathological_scaling() -> None:
+    """HiGHS misreports mathematically-bounded pinball LPs (c ≥ 0, x ≥ 0) as
+    unbounded when coefficients span ~20 orders of magnitude; the solver must fall
+    back to the column-equilibrated formulation instead of raising.
+
+    The fixture is a conformal level-1 design captured from a real failure
+    (features scaled ~1e12: nonconformity ~1e12, |ŷ| ~1e12, intercept 1, with the
+    √eps L1 weight ~5e-9) on which every raw HiGHS method returns "unbounded"."""
+    from pathlib import Path
+
+    from neo_ls_svm_tpu.models.cqr import _solve_coupled_lp
+
+    d = np.load(Path(__file__).parent / "data" / "lp_pathological_scaling.npz")
+    X, y, q, s, alpha = d["X"], d["y"], d["q"], d["s"], float(d["alpha"])
+    beta = _solve_coupled_lp(X, y, q, s, alpha)
+    assert np.all(np.isfinite(beta))
+    # The plane must be a valid 0.975-quantile fit: the weighted fraction of
+    # training residuals above it matches 1 - q to pinball-optimality granularity.
+    above = float(s[(y - (X @ beta)[:, 0]) > 0].sum() / s.sum())
+    assert abs(above - (1.0 - float(q[0]))) < 5.0 / len(y)
