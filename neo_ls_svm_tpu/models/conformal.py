@@ -198,7 +198,11 @@ class ConformalMixin:
         bias_l2 = np.zeros(quantiles.shape, dtype=self.ŷ_calib_l1_.dtype)
         if len(self.ŷ_calib_l2_) >= CONFORMAL_L2_MIN:
             X_l2, y_l2 = self._conformal_design(target_type, level="l2")
-            delta_l2 = cqr_l1.predict(X_l2)
+            # reshape: predict squeezes a single-quantile fit to 1-D (reference API
+            # contract); the level-2 bias indexes per quantile, so restore (n, Q).
+            # The reference crashes here on quantiles=(q,) (IndexError at ref
+            # `_neo_ls_svm.py:517`); supporting it is a deliberate superset.
+            delta_l2 = cqr_l1.predict(X_l2).reshape(len(X_l2), -1)
             clip = cqr_l1.intercept_clip(np.vstack([X_l1, X_l2]), np.hstack([y_l1, y_l2]))
             for j, quantile in enumerate(quantiles):
                 intercept_l2 = np.quantile(y_l2 - delta_l2[:, j], quantile)
